@@ -1,0 +1,257 @@
+"""RNS ring construction and host-side precomputation.
+
+TPU-native analog of ``ring/ring.go`` + ``ring/subring.go``: a :class:`Ring`
+is the precomputation for Z_Q[X]/(X^N+1) with Q = ∏ q_i a chain of NTT-
+friendly primes. Unlike the reference's slice-of-SubRing object graph, the
+device-facing state is a handful of stacked ``uint64`` tables
+(``[L, ...]``, limb-major) so every ring op is a single broadcast jnp
+expression over ``uint64[..., L, N]`` polynomial tensors.
+
+Polynomials carry no wrapper class at this layer: a poly IS a jnp array of
+shape ``[level+1, N]`` (higher layers add batch axes in front; everything
+broadcasts). Level views are static slices — each level compiles its own
+XLA program, mirroring the reference's ``AtLevel`` shallow copies
+(``ring/ring.go:186``).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from lattigo_tpu.ring import modops, ntt as ntt_mod
+from lattigo_tpu.ring.modops import (
+    gen_bred_constant,
+    gen_mred_constant,
+)
+from lattigo_tpu.utils.primes import primitive_nth_root
+
+STANDARD = "standard"
+CONJUGATE_INVARIANT = "conjugate_invariant"
+
+_U64 = np.uint64
+
+
+def _mform_int(a: int, q: int) -> int:
+    return (a << 64) % q
+
+
+@dataclass(frozen=True)
+class SubRing:
+    """Per-prime precomputation (analog of ring/subring.go:15-35)."""
+
+    n: int
+    modulus: int
+    mred_constant: int = field(init=False)
+    bred_constant: tuple[int, int] = field(init=False)
+    psi: int = field(init=False)  # primitive 2N-th root of unity mod q
+
+    def __post_init__(self):
+        q, n = self.modulus, self.n
+        if (q - 1) % (2 * n) != 0:
+            raise ValueError(f"prime {q} is not NTT-friendly for N={n}")
+        object.__setattr__(self, "mred_constant", gen_mred_constant(q))
+        object.__setattr__(self, "bred_constant", gen_bred_constant(q))
+        object.__setattr__(self, "psi", primitive_nth_root(q, 2 * n))
+
+    def root_tables(self) -> tuple[np.ndarray, np.ndarray, int]:
+        """(forward, inverse) bit-reversed Montgomery root tables + N^{-1}·R.
+
+        forward[j] = MForm(psi^brev(j)), inverse[j] = MForm(psi^-brev(j)).
+        """
+        q, n, psi = self.modulus, self.n, self.psi
+        logn = n.bit_length() - 1
+        ipsi = pow(psi, -1, q)
+        fwd = np.zeros(n, dtype=_U64)
+        inv = np.zeros(n, dtype=_U64)
+        p_f, p_i = 1, 1
+        pow_f = np.zeros(n, dtype=_U64)
+        pow_i = np.zeros(n, dtype=_U64)
+        for j in range(n):
+            pow_f[j] = _mform_int(p_f, q)
+            pow_i[j] = _mform_int(p_i, q)
+            p_f = p_f * psi % q
+            p_i = p_i * ipsi % q
+        for j in range(n):
+            r = ntt_mod.bit_reverse(j, logn)
+            fwd[j] = pow_f[r]
+            inv[j] = pow_i[r]
+        ninv_m = _mform_int(pow(n, -1, q), q)
+        return fwd, inv, ninv_m
+
+
+class Ring:
+    """RNS ring Z_Q[X]/(X^N+1), Q = ∏ moduli (analog of ring/ring.go:70).
+
+    Immutable after construction; all methods are pure array functions safe
+    to call under ``jit``. ``level`` arguments are static Python ints
+    indexing the modulus chain (level L-1 = full chain).
+    """
+
+    def __init__(self, n: int, moduli: list[int], ring_type: str = STANDARD):
+        if n <= 0 or n & (n - 1):
+            raise ValueError(f"N must be a power of two, got {n}")
+        if len(set(moduli)) != len(moduli):
+            raise ValueError("moduli must be distinct")
+        self.n = n
+        self.log_n = n.bit_length() - 1
+        self.ring_type = ring_type
+        self.moduli = list(moduli)
+        self.subrings = [SubRing(n, q) for q in moduli]
+
+        L = len(moduli)
+        q_np = np.array(moduli, dtype=_U64).reshape(L, 1)
+        qinv_np = np.array([s.mred_constant for s in self.subrings], dtype=_U64).reshape(L, 1)
+        bhi_np = np.array([s.bred_constant[0] for s in self.subrings], dtype=_U64).reshape(L, 1)
+        blo_np = np.array([s.bred_constant[1] for s in self.subrings], dtype=_U64).reshape(L, 1)
+
+        fwd = np.zeros((L, n), dtype=_U64)
+        inv = np.zeros((L, n), dtype=_U64)
+        ninv = np.zeros((L, 1), dtype=_U64)
+        for i, s in enumerate(self.subrings):
+            f, b, nv = s.root_tables()
+            fwd[i], inv[i], ninv[i, 0] = f, b, nv
+
+        # Device-resident tables (constants baked into jitted programs).
+        self.q = jnp.asarray(q_np)
+        self.qinv = jnp.asarray(qinv_np)
+        self.bred_hi = jnp.asarray(bhi_np)
+        self.bred_lo = jnp.asarray(blo_np)
+        self.roots = jnp.asarray(fwd)
+        self.iroots = jnp.asarray(inv)
+        self.ninv = jnp.asarray(ninv)
+
+        # Rescale constants: MForm(q_last^{-1} mod q_i) for every (last, i)
+        # pair, used by DivRoundByLastModulus (ref ring/ring.go:329-346).
+        resc = np.zeros((L, L, 1), dtype=_U64)  # [last, i]
+        for last in range(1, L):
+            ql = moduli[last]
+            for i in range(last):
+                resc[last, i, 0] = _mform_int(pow(ql, -1, moduli[i]), moduli[i])
+        self.rescale_constants = jnp.asarray(resc)
+
+    # -- basic properties ---------------------------------------------------
+
+    @property
+    def max_level(self) -> int:
+        return len(self.moduli) - 1
+
+    @functools.lru_cache(maxsize=None)
+    def modulus_at_level(self, level: int) -> int:
+        m = 1
+        for q in self.moduli[: level + 1]:
+            m *= q
+        return m
+
+    # -- table slicing ------------------------------------------------------
+
+    def _lvl(self, level: int | None) -> int:
+        return self.max_level if level is None else level
+
+    def tables(self, level: int | None = None):
+        l = self._lvl(level) + 1
+        return self.q[:l], self.qinv[:l], self.bred_hi[:l], self.bred_lo[:l]
+
+    # -- polynomial constructors --------------------------------------------
+
+    def zero(self, level: int | None = None, batch: tuple[int, ...] = ()):
+        return jnp.zeros(batch + (self._lvl(level) + 1, self.n), dtype=jnp.uint64)
+
+    def from_int_coeffs(self, coeffs, level: int | None = None):
+        """Lift signed/unsigned Python-int coefficients into RNS residues."""
+        l = self._lvl(level)
+        out = np.zeros((l + 1, self.n), dtype=_U64)
+        for i in range(l + 1):
+            q = self.moduli[i]
+            out[i] = np.array([int(c) % q for c in coeffs], dtype=_U64)
+        return jnp.asarray(out)
+
+    def to_int_coeffs(self, poly, level: int | None = None, centered: bool = True):
+        """CRT-reconstruct to Python ints (host; ref ring/ring.go:433)."""
+        l = self._lvl(level)
+        x = np.asarray(poly)
+        assert x.ndim == 2, "to_int_coeffs expects a single [L, N] poly"
+        Q = self.modulus_at_level(l)
+        acc = [0] * self.n
+        for i in range(l + 1):
+            qi = self.moduli[i]
+            Qi = Q // qi
+            lag = Qi * pow(Qi, -1, qi)
+            row = x[i]
+            for j in range(self.n):
+                acc[j] = (acc[j] + int(row[j]) * lag) % Q
+        if centered:
+            acc = [c - Q if c > Q // 2 else c for c in acc]
+        return acc
+
+    # -- elementwise ops ----------------------------------------------------
+
+    def add(self, a, b, level: int | None = None):
+        q, *_ = self.tables(level)
+        return modops.add_mod(a, b, q)
+
+    def sub(self, a, b, level: int | None = None):
+        q, *_ = self.tables(level)
+        return modops.sub_mod(a, b, q)
+
+    def neg(self, a, level: int | None = None):
+        q, *_ = self.tables(level)
+        return modops.neg_mod(a, q)
+
+    def mform(self, a, level: int | None = None):
+        q, _, bhi, blo = self.tables(level)
+        return modops.mform(a, q, bhi, blo)
+
+    def imform(self, a, level: int | None = None):
+        q, qinv, *_ = self.tables(level)
+        return modops.imform(a, q, qinv)
+
+    def mul_mont(self, a, b, level: int | None = None):
+        """a·b with exactly one operand in Montgomery form."""
+        q, qinv, *_ = self.tables(level)
+        return modops.mred(a, b, q, qinv)
+
+    def mul_mont_lazy(self, a, b, level: int | None = None):
+        q, qinv, *_ = self.tables(level)
+        return modops.mred_lazy(a, b, q, qinv)
+
+    def mul_coeffs_barrett(self, a, b, level: int | None = None):
+        q, _, bhi, blo = self.tables(level)
+        return modops.bred_mul(a, b, q, bhi, blo)
+
+    def reduce(self, a, level: int | None = None):
+        q, _, bhi, _ = self.tables(level)
+        return modops.bred_add(a, q, bhi)
+
+    def mul_scalar(self, a, scalar: int, level: int | None = None):
+        """Multiply by a host integer scalar (RNS-lifted, Montgomery)."""
+        l = self._lvl(level)
+        s = np.array(
+            [_mform_int(scalar % q, q) for q in self.moduli[: l + 1]], dtype=_U64
+        ).reshape(l + 1, 1)
+        q, qinv, *_ = self.tables(level)
+        return modops.mred(a, jnp.asarray(s), q, qinv)
+
+    def rns_scalar(self, scalar: int, level: int | None = None, mont: bool = True):
+        """Host int → uint64[l+1, 1] residues (optionally Montgomery form)."""
+        l = self._lvl(level)
+        vals = [
+            _mform_int(scalar % q, q) if mont else scalar % q
+            for q in self.moduli[: l + 1]
+        ]
+        return jnp.asarray(np.array(vals, dtype=_U64).reshape(l + 1, 1))
+
+    # -- NTT ------------------------------------------------------------------
+
+    def ntt(self, a, level: int | None = None, lazy: bool = False):
+        l = self._lvl(level) + 1
+        return ntt_mod.ntt(a, self.roots[:l], self.q[:l], self.qinv[:l], self.log_n, lazy=lazy)
+
+    def intt(self, a, level: int | None = None, lazy: bool = False):
+        l = self._lvl(level) + 1
+        return ntt_mod.intt(
+            a, self.iroots[:l], self.ninv[:l], self.q[:l], self.qinv[:l], self.log_n, lazy=lazy
+        )

@@ -1,0 +1,19 @@
+"""Test configuration: run on CPU with 8 virtual devices.
+
+Mirrors the reference's strategy of testing multi-party/multi-device logic
+in-process (SURVEY.md §4): shardings are validated on a virtual CPU mesh;
+the real TPU is exercised by bench.py / the driver.
+
+Must run before any jax import, hence the env mutation at module top.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
