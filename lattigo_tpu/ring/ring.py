@@ -255,3 +255,14 @@ class Ring:
         return ntt_mod.intt(
             a, self.iroots[:l], self.ninv[:l], self.q[:l], self.qinv[:l], self.log_n, lazy=lazy
         )
+
+    def ntt_single(self, i: int, a, lazy: bool = False):
+        """NTT over subring i only; a has a singleton limb axis [..., 1, N]."""
+        s = slice(i, i + 1)
+        return ntt_mod.ntt(a, self.roots[s], self.q[s], self.qinv[s], self.log_n, lazy=lazy)
+
+    def intt_single(self, i: int, a, lazy: bool = False):
+        s = slice(i, i + 1)
+        return ntt_mod.intt(
+            a, self.iroots[s], self.ninv[s], self.q[s], self.qinv[s], self.log_n, lazy=lazy
+        )
