@@ -25,8 +25,18 @@ This package requires 64-bit integer support and enables ``jax_enable_x64``
 at import time.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache (kernel shapes recur across runs; HE
+# parameter sets are static so cache hits are the common case).
+if not _os.environ.get("LATTIGO_TPU_NO_CACHE"):
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 __version__ = "0.1.0"

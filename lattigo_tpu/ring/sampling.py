@@ -80,6 +80,47 @@ def lift_signed(ring, x, level: int | None = None):
 # Device samplers (jax.random keys)
 # ---------------------------------------------------------------------------
 
+def ternary_signed(key, n: int, dist: Ternary = DEFAULT_XS,
+                   batch: tuple[int, ...] = ()):
+    """Signed ternary sample int64[batch..., N] (before RNS lifting).
+
+    Kept separate from :func:`ternary` so key material can lift the SAME
+    integer vector into both the Q and P chains (ref: secret keys live in
+    R_QP, core/rlwe/keys.go:18).
+    """
+    if dist.p is not None:
+        ku, ks = jax.random.split(key)
+        u = jax.random.uniform(ku, batch + (n,))
+        sign = jax.random.rademacher(ks, batch + (n,), dtype=jnp.int64)
+        return jnp.where(u < dist.p, jnp.int64(0), sign)
+    h = dist.hamming_weight
+    ks, kp = jax.random.split(key)
+    base = jnp.concatenate(
+        [
+            jax.random.rademacher(ks, batch + (h,), dtype=jnp.int64),
+            jnp.zeros(batch + (n - h,), dtype=jnp.int64),
+        ],
+        axis=-1,
+    )
+    return jax.random.permutation(kp, base, axis=-1, independent=True)
+
+
+def gaussian_signed(key, n: int, dist: DiscreteGaussian = DEFAULT_XE,
+                    batch: tuple[int, ...] = ()):
+    """Signed rounded-Gaussian sample int64[batch..., N]."""
+    g = jax.random.normal(key, batch + (n,), dtype=jnp.float32) * dist.sigma
+    g = jnp.clip(g, -dist.bound, dist.bound)
+    return jnp.round(g).astype(jnp.int64)
+
+
+def signed(key, n: int, dist, batch: tuple[int, ...] = ()):
+    if isinstance(dist, Ternary):
+        return ternary_signed(key, n, dist, batch)
+    if isinstance(dist, DiscreteGaussian):
+        return gaussian_signed(key, n, dist, batch)
+    raise TypeError(f"distribution {dist!r} has no small-signed form")
+
+
 def uniform(key, ring, level: int | None = None, batch: tuple[int, ...] = ()):
     """Uniform poly in [0, q_i) per limb: u64[batch..., L, N]."""
     l = (ring.max_level if level is None else level) + 1
@@ -99,33 +140,13 @@ def uniform(key, ring, level: int | None = None, batch: tuple[int, ...] = ()):
 def ternary(key, ring, dist: Ternary = DEFAULT_XS, level: int | None = None,
             batch: tuple[int, ...] = ()):
     """Ternary secret poly, lifted to residues u64[batch..., L, N]."""
-    n = ring.n
-    if dist.p is not None:
-        ku, ks = jax.random.split(key)
-        u = jax.random.uniform(ku, batch + (n,))
-        sign = jax.random.rademacher(ks, batch + (n,), dtype=jnp.int64)
-        x = jnp.where(u < dist.p, jnp.int64(0), sign)
-    else:
-        h = dist.hamming_weight
-        ks, kp = jax.random.split(key)
-        base = jnp.concatenate(
-            [
-                jax.random.rademacher(ks, batch + (h,), dtype=jnp.int64),
-                jnp.zeros(batch + (n - h,), dtype=jnp.int64),
-            ],
-            axis=-1,
-        )
-        x = jax.random.permutation(kp, base, axis=-1, independent=True)
-    return lift_signed(ring, x, level)
+    return lift_signed(ring, ternary_signed(key, ring.n, dist, batch), level)
 
 
 def discrete_gaussian(key, ring, dist: DiscreteGaussian = DEFAULT_XE,
                       level: int | None = None, batch: tuple[int, ...] = ()):
     """Rounded clamped Gaussian error poly, lifted: u64[batch..., L, N]."""
-    g = jax.random.normal(key, batch + (ring.n,), dtype=jnp.float32) * dist.sigma
-    g = jnp.clip(g, -dist.bound, dist.bound)
-    x = jnp.round(g).astype(jnp.int64)
-    return lift_signed(ring, x, level)
+    return lift_signed(ring, gaussian_signed(key, ring.n, dist, batch), level)
 
 
 def sample(key, ring, dist, level: int | None = None, batch: tuple[int, ...] = ()):

@@ -1,0 +1,216 @@
+"""Scheme-generic RLWE evaluator: gadget product, relinearize, automorphism.
+
+TPU-native analog of ``core/rlwe/evaluator.go`` + the gadget-product hot
+loop (``evaluator_gadget_product.go:16-527``) and automorphism machinery
+(``evaluator_automorphism.go``). The gadget product is expressed as a
+digit-unrolled MAC over NTT-domain QP tensors with the reference's lazy-
+reduction cadence (flush every ``margin`` accumulations), ending in one
+ModDown by P. Decomposition is hoistable: :meth:`Evaluator.decompose_ntt`
+returns the digit tensor once, and every rotation/key-switch against it is
+pure MACs + gather.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from lattigo_tpu.ring import modops
+from lattigo_tpu.ring import automorphism as auto_mod
+from lattigo_tpu.ring.ringqp import QPPoly, stack as qp_stack
+from lattigo_tpu.rlwe.params import Parameters
+from lattigo_tpu.rlwe.elements import Ciphertext
+from lattigo_tpu.rlwe.keys import (
+    EvaluationKeySet, GadgetCiphertext, GaloisKey, RelinearizationKey,
+)
+
+
+class Evaluator:
+    """Shared key-switch machinery for scheme evaluators (ref evaluator.go:12)."""
+
+    def __init__(self, params: Parameters, evk: EvaluationKeySet | None = None):
+        self.params = params
+        self.evk = evk or EvaluationKeySet()
+
+    def with_keys(self, evk: EvaluationKeySet) -> "Evaluator":
+        return Evaluator(self.params, evk)
+
+    # -- gadget decomposition (the hoistable half) -------------------------------
+
+    def decompose_ntt(self, c2_ntt, level_q: int) -> QPPoly:
+        """RNS-decompose an NTT poly into QP-extended digits.
+
+        c2_ntt: u64[..., lq+1, N] NTT plain. Returns QPPoly with digit axis:
+        q: [..., beta, lq+1, N], p: [..., beta, LP, N], NTT plain
+        (ref DecomposeNTT, evaluator_gadget_product.go:459).
+        """
+        p = self.params
+        dec = p.decomposer
+        coeff = p.ring_q.intt(c2_ntt, level_q)
+        digits = []
+        for d in range(dec.num_digits(level_q)):
+            yq, yp = dec.decompose_single(coeff, level_q, d)
+            digits.append(QPPoly(p.ring_q.ntt(yq, level_q), p.ring_p.ntt(yp)))
+        return qp_stack(digits, axis=-3)
+
+    # -- gadget product -------------------------------------------------------------
+
+    def gadget_product_hoisted_lazy(self, digits: QPPoly,
+                                    gadget: GadgetCiphertext,
+                                    level_q: int) -> QPPoly:
+        """MAC digits against gadget rows; result lazy QP (ref :348).
+
+        digits: q [..., beta, lq+1, N] / p [..., beta, LP, N], NTT plain.
+        Returns QPPoly of shape [..., 2, lq+1, N] / [..., 2, LP, N] in NTT
+        plain form, reduced to [0, q).
+        """
+        p = self.params
+        rq, rp = p.ring_q, p.ring_p
+        lq = level_q + 1
+        beta = digits.q.shape[-3]
+        evq = gadget.value.q  # [beta_full, 2, LQ, N]
+        evp = gadget.value.p  # [beta_full, 2, LP, N]
+
+        qmax = max(max(p.q_moduli[:lq]), max(p.p_moduli))
+        margin = max(1, ((1 << 64) - 1) // (2 * qmax) - 1)
+
+        acc_q = acc_p = None
+        pending = 0
+        for d in range(beta):
+            tq = modops.mred_lazy(
+                digits.q[..., d, None, :, :], evq[d, :, :lq, :],
+                rq.q[:lq], rq.qinv[:lq])
+            tp = modops.mred_lazy(
+                digits.p[..., d, None, :, :], evp[d], rp.q, rp.qinv)
+            if acc_q is None:
+                acc_q, acc_p = tq, tp
+            else:
+                acc_q, acc_p = acc_q + tq, acc_p + tp
+            pending += 1
+            if pending >= margin and d != beta - 1:
+                acc_q = modops.bred_add_lazy(acc_q, rq.q[:lq], rq.bred_hi[:lq])
+                acc_p = modops.bred_add_lazy(acc_p, rp.q, rp.bred_hi)
+                pending = 1
+        acc_q = modops.bred_add(acc_q, rq.q[:lq], rq.bred_hi[:lq])
+        acc_p = modops.bred_add(acc_p, rp.q, rp.bred_hi)
+        return QPPoly(acc_q, acc_p)
+
+    def gadget_product_hoisted(self, digits: QPPoly, gadget: GadgetCiphertext,
+                               level_q: int):
+        """Hoisted gadget product ending in ModDown: u64[..., 2, lq+1, N]."""
+        acc = self.gadget_product_hoisted_lazy(digits, gadget, level_q)
+        return self.params.basis_extender.mod_down_qp_to_q(
+            acc.q, acc.p, level_q, ntt_domain=True)
+
+    def gadget_product(self, c2_ntt, gadget: GadgetCiphertext, level_q: int):
+        """(d0, d1) ← c2 ⊛ gadget (ref GadgetProduct, :16).
+
+        c2_ntt: u64[..., lq+1, N] NTT plain → u64[..., 2, lq+1, N] NTT plain.
+        """
+        digits = self.decompose_ntt(c2_ntt, level_q)
+        return self.gadget_product_hoisted(digits, gadget, level_q)
+
+    # -- relinearization ---------------------------------------------------------------
+
+    def relinearize(self, ct: Ciphertext,
+                    rlk: RelinearizationKey | None = None) -> Ciphertext:
+        """Degree-d → degree-1 via iterated key switch (ref :120 Relinearize)."""
+        rlk = rlk if rlk is not None else self.evk.relinearization_key
+        if rlk is None:
+            raise ValueError("relinearization requires a RelinearizationKey")
+        assert ct.is_ntt, "relinearize expects NTT-domain ciphertexts"
+        level = ct.level
+        v = ct.value
+        while v.shape[-3] > 2:
+            d = self.gadget_product(v[..., -1, :, :], rlk.gadget, level)
+            v = v[..., :-1, :, :]
+            v = v.at[..., 0, :, :].set(
+                self.params.ring_q.add(v[..., 0, :, :], d[..., 0, :, :], level))
+            v = v.at[..., 1, :, :].set(
+                self.params.ring_q.add(v[..., 1, :, :], d[..., 1, :, :], level))
+        return ct.replace(value=v)
+
+    # -- key switching -------------------------------------------------------------------
+
+    def apply_evaluation_key(self, ct: Ciphertext, evk) -> Ciphertext:
+        """Re-encrypt a degree-1 ct under another key (ref evaluator_evaluationkey.go:36)."""
+        assert ct.degree == 1 and ct.is_ntt
+        level = ct.level
+        gadget = evk.gadget if hasattr(evk, "gadget") else evk
+        d = self.gadget_product(ct.value[..., 1, :, :], gadget, level)
+        d0 = self.params.ring_q.add(d[..., 0, :, :], ct.value[..., 0, :, :], level)
+        return ct.replace(value=jnp.stack([d0, d[..., 1, :, :]], axis=-3))
+
+    # -- automorphisms ----------------------------------------------------------------------
+
+    def automorphism(self, ct: Ciphertext, gal_el: int) -> Ciphertext:
+        """σ_{gal_el}(ct): key-switch c1, then NTT-permute (ref :13)."""
+        if gal_el == 1:
+            return ct
+        gk = self.evk.galois_key(gal_el)
+        ks = self.apply_evaluation_key(ct, gk)
+        return ct.replace(value=auto_mod.automorphism_ntt(
+            ks.value, self.params.n, gal_el))
+
+    def automorphism_hoisted(self, ct: Ciphertext, digits: QPPoly,
+                             gal_el: int) -> Ciphertext:
+        """σ with a precomputed decomposition of c1 (ref :62)."""
+        if gal_el == 1:
+            return ct
+        gk = self.evk.galois_key(gal_el)
+        level = ct.level
+        d = self.gadget_product_hoisted(digits, gk.gadget, level)
+        d0 = self.params.ring_q.add(d[..., 0, :, :], ct.value[..., 0, :, :], level)
+        v = jnp.stack([d0, d[..., 1, :, :]], axis=-3)
+        return ct.replace(value=auto_mod.automorphism_ntt(v, self.params.n, gal_el))
+
+    def rotate_columns(self, ct: Ciphertext, k: int) -> Ciphertext:
+        return self.automorphism(ct, self.params.galois_element(k))
+
+    # -- trace / inner sum --------------------------------------------------------------------
+
+    def trace(self, ct: Ciphertext, log_n_start: int) -> Ciphertext:
+        """Trace onto the degree-2^logn sub-ring: X → Σ_i ±X^{i·n+1}
+        (ref inner_sum.go:36-115). Pre-multiplies by (N/n)^{-1}, then the
+        log-depth ladder out ← out + σ_{5^{2^i}}(out), plus the order-two
+        element when logn == 0.
+        """
+        p = self.params
+        level = ct.level
+        gap = 1 << (p.log_n - log_n_start - 1)
+        if log_n_start == 0:
+            gap <<= 1
+        if gap <= 1:
+            return ct
+        inv = pow(gap, -1, p.q_big_int(level))
+        out = ct.replace(value=p.ring_q.mul_scalar(ct.value, inv, level))
+        for i in range(log_n_start, p.log_n - 1):
+            rot = self.automorphism(out, p.galois_element(1 << i))
+            out = out.replace(value=p.ring_q.add(out.value, rot.value, level))
+        if log_n_start == 0 and p.ring_type == "standard":
+            rot = self.automorphism(out, p.galois_element_order_two)
+            out = out.replace(value=p.ring_q.add(out.value, rot.value, level))
+        return out
+
+    def galois_elements_for_trace(self, log_n_start: int) -> list[int]:
+        """Galois keys needed by :meth:`trace` (ref inner_sum.go:120)."""
+        p = self.params
+        els = [p.galois_element(1 << i) for i in range(log_n_start, p.log_n - 1)]
+        if log_n_start == 0 and p.ring_type == "standard":
+            els.append(p.galois_element_order_two)
+        return els
+
+    def inner_sum(self, ct: Ciphertext, batch: int, n: int) -> Ciphertext:
+        """Σ_{i<n} rot(ct, i·batch) via log-depth rotations (ref inner_sum.go:317).
+
+        Requires n to be a power of two (generic n handled by schemes later).
+        """
+        assert n & (n - 1) == 0, "inner_sum currently requires power-of-two n"
+        level = ct.level
+        out = ct
+        k = 1
+        while k < n:
+            rot = self.rotate_columns(out, k * batch)
+            out = out.replace(
+                value=self.params.ring_q.add(out.value, rot.value, level))
+            k <<= 1
+        return out

@@ -1,0 +1,193 @@
+"""Key material containers + key generation.
+
+TPU-native analog of ``core/rlwe/keys.go`` + ``keygenerator.go`` +
+``gadgetciphertext.go``. All key generation is functional: it consumes a
+JAX PRNG key and returns immutable pytrees. Key polynomials live in the
+NTT + Montgomery domain over R_QP (exactly the reference's convention,
+``core/rlwe/keys.go:18``), so every key-switch MAC is a single
+``mred_lazy`` with no per-use domain conversion.
+
+Gadget layout: an RNS gadget over Q at level l with |P| = alpha splits the
+l+1 limbs into beta = ceil((l+1)/alpha) digits; the gadget vector entry for
+digit d is the CRT indicator of the digit's limb group scaled by P, i.e. in
+RNS rows: P mod q_j on rows [d·alpha, (d+1)·alpha), 0 elsewhere
+(ref gadgetciphertext.go:172 AddPolyTimesGadgetVectorToGadgetCiphertext).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lattigo_tpu.ring import modops, sampling
+from lattigo_tpu.ring.ringqp import QPPoly, RingQP, stack as qp_stack
+from lattigo_tpu.rlwe.params import Parameters
+
+
+def _mform_int(a: int, q: int) -> int:
+    return (a << 64) % q
+
+
+@struct.dataclass
+class SecretKey:
+    """s ∈ R_QP in NTT + Montgomery form (ref keys.go:18)."""
+
+    value: QPPoly
+
+
+@struct.dataclass
+class PublicKey:
+    """(p0, p1) = (-a·s + e, a) ∈ R_QP², NTT + Montgomery; leading axis 2."""
+
+    value: QPPoly
+
+
+@struct.dataclass
+class GadgetCiphertext:
+    """Gadget-RLWE encryption: value.q u64[beta, 2, LQ, N] (+ P part).
+
+    Row (d, 0) = -a_d·s + e_d + m·g_d, row (d, 1) = a_d, both NTT+Montgomery
+    (ref gadgetciphertext.go:19).
+    """
+
+    value: QPPoly
+
+    @property
+    def beta(self) -> int:
+        return self.value.q.shape[-4]
+
+    @property
+    def level_q(self) -> int:
+        return self.value.q.shape[-2] - 1
+
+
+@struct.dataclass
+class EvaluationKey:
+    """Key-switch key sk_in → sk_out (ref keys.go:293)."""
+
+    gadget: GadgetCiphertext
+
+
+@struct.dataclass
+class RelinearizationKey:
+    """EVK for s² → s (ref keys.go:542)."""
+
+    gadget: GadgetCiphertext
+
+
+@struct.dataclass
+class GaloisKey:
+    """EVK enabling X^i → X^{i·gal_el} (ref keys.go:577)."""
+
+    gadget: GadgetCiphertext
+    gal_el: int = struct.field(pytree_node=False, default=0)
+
+
+class KeyGenerator:
+    """Functional key generator (ref keygenerator.go:14)."""
+
+    def __init__(self, params: Parameters):
+        self.params = params
+
+    # -- secret / public keys ---------------------------------------------------
+
+    def gen_secret_key(self, key) -> SecretKey:
+        p = self.params
+        x = sampling.signed(key, p.n, p.xs)
+        qp = p.ring_qp.lift_signed(x)
+        qp = p.ring_qp.ntt(qp)
+        return SecretKey(p.ring_qp.mform(qp))
+
+    def gen_public_key(self, key, sk: SecretKey) -> PublicKey:
+        p = self.params
+        ka, ke = jax.random.split(key)
+        a = p.ring_qp.uniform(ka)                       # NTT-domain uniform
+        e = p.ring_qp.ntt(p.ring_qp.sample_signed(ke, p.xe))
+        a_s = p.ring_qp.mul_mont(a, sk.value)           # plain a·s
+        p0 = p.ring_qp.sub(e, a_s)
+        return PublicKey(qp_stack([p.ring_qp.mform(p0), p.ring_qp.mform(a)]))
+
+    # -- gadget encryption --------------------------------------------------------
+
+    def _gadget_scalars(self, level_q: int) -> np.ndarray:
+        """MForm(P mod q_j) per Q row (gadget factor), u64[level_q+1, 1]."""
+        p = self.params
+        P = p.p_big_int() if p.ring_p is not None else 1
+        vals = [_mform_int(P % q, q) for q in p.q_moduli[: level_q + 1]]
+        return jnp.asarray(np.array(vals, dtype=np.uint64).reshape(level_q + 1, 1))
+
+    def gadget_encrypt(self, key, m_q, sk_out: SecretKey,
+                       level_q: int | None = None) -> GadgetCiphertext:
+        """Gadget-encrypt m (Q part, NTT+Montgomery, u64[lq+1, N]) under sk_out."""
+        p = self.params
+        if p.ring_p is None:
+            raise NotImplementedError(
+                "gadget encryption currently requires an auxiliary P basis")
+        level_q = p.max_level if level_q is None else level_q
+        alpha = len(p.p_moduli)
+        beta = -(-(level_q + 1) // alpha)
+        gfac = self._gadget_scalars(level_q)   # [lq+1, 1] MForm(P mod q_j)
+        rqp = p.ring_qp
+        rq = p.ring_q
+        lq = level_q + 1
+
+        rows = []
+        for d in range(beta):
+            key, ka, ke = jax.random.split(key, 3)
+            a = rqp.uniform(ka, level_q)
+            e = rqp.ntt(rqp.sample_signed(ke, p.xe, level_q), level_q)
+            a_s = rqp.mul_mont(a, rqp.at_level(sk_out.value, level_q), level_q)
+            c0 = rqp.mform(rqp.sub(e, a_s, level_q), level_q)
+            c1 = rqp.mform(a, level_q)
+            lo, hi = d * alpha, min((d + 1) * alpha, lq)
+            # m·g_d on the digit's own rows (both operands M-form → M-form).
+            term = modops.mred(
+                m_q[..., lo:hi, :], gfac[lo:hi], rq.q[lo:hi], rq.qinv[lo:hi])
+            c0q = c0.q.at[..., lo:hi, :].set(
+                modops.add_mod(c0.q[..., lo:hi, :], term, rq.q[lo:hi]))
+            rows.append(qp_stack([QPPoly(c0q, c0.p), c1]))
+        return GadgetCiphertext(qp_stack(rows))
+
+    # -- evaluation keys ------------------------------------------------------------
+
+    def gen_evaluation_key(self, key, sk_in: SecretKey, sk_out: SecretKey) -> EvaluationKey:
+        """EVK re-encrypting from sk_in to sk_out (ref keygenerator.go:245)."""
+        return EvaluationKey(self.gadget_encrypt(key, sk_in.value.q, sk_out))
+
+    def gen_relinearization_key(self, key, sk: SecretKey) -> RelinearizationKey:
+        """RLK: gadget encryption of s² under s (ref keygenerator.go:99)."""
+        p = self.params
+        s2 = p.ring_q.mul_mont(sk.value.q, sk.value.q)  # M-form of s²
+        return RelinearizationKey(self.gadget_encrypt(key, s2, sk))
+
+    def gen_galois_key(self, key, gal_el: int, sk: SecretKey) -> GaloisKey:
+        """GK for X^i → X^{i·gal_el}: encrypt sk under σ_{gal_el^{-1}}(sk).
+
+        The gadget product then re-encrypts from s to σ^{-1}(s); applying
+        σ afterwards lands back on s (ref keygenerator.go:139-161). Keyswitch
+        before permutation is what makes hoisting possible.
+        """
+        p = self.params
+        gal_inv = p.galois_element_inverse(gal_el)
+        sk_out = SecretKey(p.ring_qp.automorphism_ntt(sk.value, gal_inv))
+        gadget = self.gadget_encrypt(key, sk.value.q, sk_out)
+        return GaloisKey(gadget, gal_el)
+
+    def gen_galois_keys(self, key, gal_els: list[int], sk: SecretKey) -> dict[int, GaloisKey]:
+        keys = jax.random.split(key, len(gal_els))
+        return {g: self.gen_galois_key(k, g, sk) for g, k in zip(gal_els, keys)}
+
+
+@struct.dataclass
+class EvaluationKeySet:
+    """In-memory EVK set (ref keys.go:717 MemEvaluationKeySet)."""
+
+    relinearization_key: RelinearizationKey | None = None
+    galois_keys: dict = struct.field(default_factory=dict)  # gal_el -> GaloisKey
+
+    def galois_key(self, gal_el: int) -> GaloisKey:
+        if gal_el not in self.galois_keys:
+            raise KeyError(f"missing GaloisKey for element {gal_el}")
+        return self.galois_keys[gal_el]

@@ -1,0 +1,106 @@
+"""CKKS encoder: canonical embedding C^{N/2} ↔ R = Z[X]/(X^N+1).
+
+TPU-native analog of ``schemes/ckks/encoder.go``. Instead of the
+reference's hand-unrolled special FFT over the rotation group
+(``ckks_vector_ops.go:18``), the embedding is evaluated through a single
+length-2N FFT (host-side numpy, O(N log N), f64):
+
+    slot_j = m(ζ^{e_j}),  e_j = 5^j mod 2N  (row-0 exponents)
+    encode: m_k = (2/N)·Re( FFT_{2N}(A)[k] ),  A[e_j] = v_j
+    decode: v_j = (2N·IFFT_{2N}(m))[e_j]
+
+The 5^j slot ordering makes rotation-by-k exactly the Galois element 5^k
+and conjugation the element 2N−1, matching the evaluator's automorphisms.
+
+f64 gives ~2^-45 relative embedding error — the reference's own default
+double-precision path (``encoder.go:219 embedDouble``); the >53-bit
+big-float path (ref :342) is a later addition for deep bootstrapping.
+"""
+
+from __future__ import annotations
+
+import functools
+from fractions import Fraction
+
+import numpy as np
+import jax.numpy as jnp
+
+from lattigo_tpu.rlwe.elements import Plaintext
+from lattigo_tpu.schemes.ckks.params import Parameters
+
+
+@functools.lru_cache(maxsize=None)
+def _rot_group_exponents(n: int) -> np.ndarray:
+    """e_j = 5^j mod 2N for j in [0, N/2)."""
+    two_n = 2 * n
+    e = np.zeros(n // 2, dtype=np.int64)
+    cur = 1
+    for j in range(n // 2):
+        e[j] = cur
+        cur = cur * 5 % two_n
+    return e
+
+
+class Encoder:
+    """Canonical-embedding encoder (ref schemes/ckks/encoder.go:58)."""
+
+    def __init__(self, params: Parameters):
+        self.params = params
+        self.exponents = _rot_group_exponents(params.n)
+
+    # -- embedding (host, f64) ---------------------------------------------------
+
+    def embed_to_coeffs(self, values: np.ndarray) -> np.ndarray:
+        """complex v[..., ≤N/2] → real coeffs f64[..., N] (unscaled)."""
+        p = self.params
+        slots = p.max_slots
+        v = np.asarray(values, dtype=np.complex128)
+        if v.shape[-1] < slots:
+            pad = np.zeros(v.shape[:-1] + (slots - v.shape[-1],), np.complex128)
+            v = np.concatenate([v, pad], axis=-1)
+        a = np.zeros(v.shape[:-1] + (2 * p.n,), dtype=np.complex128)
+        a[..., self.exponents] = v
+        return (2.0 / p.n) * np.fft.fft(a, axis=-1)[..., : p.n].real
+
+    def coeffs_to_slots(self, coeffs: np.ndarray) -> np.ndarray:
+        """real coeffs f64[..., N] → complex slots[..., N/2]."""
+        p = self.params
+        m = np.asarray(coeffs, dtype=np.float64)
+        pad = np.zeros(m.shape[:-1] + (2 * p.n - p.n,), dtype=np.float64)
+        spec = np.fft.ifft(np.concatenate([m, pad], axis=-1), axis=-1) * (2 * p.n)
+        return spec[..., self.exponents]
+
+    # -- RNS lifts ------------------------------------------------------------------
+
+    def _lift_ints(self, ints: np.ndarray, level: int) -> jnp.ndarray:
+        """Signed int coeffs (object or int64) → residues u64[..., l+1, N]."""
+        p = self.params
+        moduli = p.q_moduli[: level + 1]
+        out = np.zeros(ints.shape[:-1] + (level + 1, p.n), dtype=np.uint64)
+        for i, q in enumerate(moduli):
+            out[..., i, :] = np.mod(ints, q).astype(np.uint64)
+        return jnp.asarray(out)
+
+    # -- public API --------------------------------------------------------------------
+
+    def encode(self, values, level: int | None = None,
+               scale: Fraction | None = None) -> Plaintext:
+        p = self.params
+        level = p.max_level if level is None else level
+        scale = p.default_scale_fraction if scale is None else Fraction(scale)
+        coeffs = self.embed_to_coeffs(values) * float(scale)
+        if np.max(np.abs(coeffs), initial=0.0) < 2**52:
+            ints = np.round(coeffs).astype(np.int64).astype(object)
+        else:  # big-int path for very large scales
+            ints = np.vectorize(lambda x: int(round(x)), otypes=[object])(coeffs)
+        pt_q = self._lift_ints(ints, level)
+        return Plaintext(value=p.ring_q.ntt(pt_q, level), is_ntt=True, scale=scale)
+
+    def decode(self, pt: Plaintext) -> np.ndarray:
+        p = self.params
+        v = pt.value
+        if pt.is_ntt:
+            v = p.ring_q.intt(v, pt.level)
+        ints = p.ring_q.to_int_coeffs(np.asarray(v), pt.level, centered=True)
+        coeffs = np.array([float(x) for x in ints]) / float(pt.scale)
+        return self.coeffs_to_slots(coeffs)
