@@ -1,0 +1,137 @@
+"""CKKS bootstrapping: ScaleDown → ModUp → CoeffsToSlots → EvalMod → SlotsToCoeffs.
+
+TPU-native analog of ``circuits/ckks/bootstrapping`` (pipeline ref
+evaluator.go:518). Round-1 scope: full-slot bootstrapping on the standard
+ring with exact Fraction scale bookkeeping; sparse-secret encapsulation,
+ring packing of sparse ciphertexts, and META-BTS iterations are later
+stages (SURVEY.md §2.4).
+
+Scale plumbing (all static, resolved at trace time):
+* ScaleDown brings the ciphertext to level 0; its scale Δ₀ defines the
+  message ratio q₀/Δ₀ ≳ 2^{log_message_ratio}.
+* ModUp lifts [c0,c1] centered from q₀ to the full chain; relabeling the
+  scale to q₀ makes slot values y = m/q₀ + I after CoeffsToSlots.
+* EvalMod returns slots ≈ m/q₀; the final relabel scale ← Δ·Δ₀/q₀ restores
+  the true message — metadata only, no device work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from fractions import Fraction
+
+import numpy as np
+import jax.numpy as jnp
+
+from lattigo_tpu.ring import modops
+from lattigo_tpu.circuits import dft as dft_mod
+from lattigo_tpu.circuits.mod1 import Mod1Evaluator, Mod1Parameters
+from lattigo_tpu.rlwe.elements import Ciphertext
+
+
+@dataclass
+class BootstrappingParameters:
+    """ref bootstrapping/parameters_literal.go:15 (subset)."""
+
+    c2s_levels: list[int] = field(default_factory=lambda: [1, 1, 1, 1])
+    s2c_levels: list[int] = field(default_factory=lambda: [1, 1, 1])
+    mod1: Mod1Parameters = field(default_factory=Mod1Parameters)
+    residual_levels: int = 1   # levels available to the user after bootstrap
+
+
+class BootstrappingEvaluator:
+    """ref bootstrapping/evaluator.go:22."""
+
+    def __init__(self, params, ckks_eval, encoder, bts_params: BootstrappingParameters):
+        self.params = params
+        self.ev = ckks_eval
+        self.encoder = encoder
+        self.btp = bts_params
+
+        L = params.max_level
+        n_c2s = len(bts_params.c2s_levels)
+        n_s2c = len(bts_params.s2c_levels)
+        mod1_depth = self._mod1_depth(bts_params.mod1)
+        # level layout (top to bottom): C2S | EvalMod | S2C | residual | q0
+        self.level_c2s_top = L
+        self.level_mod1_top = L - n_c2s
+        self.level_s2c_top = self.level_mod1_top - mod1_depth
+        assert self.level_s2c_top - n_s2c >= bts_params.residual_levels, (
+            f"modulus chain too short: need ≥ "
+            f"{n_c2s + mod1_depth + n_s2c + bts_params.residual_levels + 1} levels")
+
+        self.dft = dft_mod.DFTEvaluator(
+            params, ckks_eval, encoder,
+            c2s_levels=bts_params.c2s_levels,
+            s2c_levels=bts_params.s2c_levels,
+            level_q_c2s=self.level_c2s_top,
+            level_q_s2c=self.level_s2c_top)
+        self.mod1 = Mod1Evaluator(ckks_eval, bts_params.mod1)
+
+    @staticmethod
+    def _mod1_depth(m1: Mod1Parameters) -> int:
+        poly_depth = max(1, (m1.degree).bit_length())
+        return 1 + poly_depth + m1.double_angle  # map-to-interval + poly + r
+
+    def with_evaluator(self, ckks_eval) -> "BootstrappingEvaluator":
+        self.ev = ckks_eval
+        self.dft.with_evaluator(ckks_eval)
+        self.mod1.ev = ckks_eval
+        self.mod1.poly_eval.ev = ckks_eval
+        return self
+
+    def galois_elements(self) -> list[int]:
+        return self.dft.galois_elements()
+
+    # -- stages ----------------------------------------------------------------
+
+    def scale_down(self, ct: Ciphertext) -> Ciphertext:
+        """Rescale to level 0 (ref :566). The remaining scale defines Δ₀."""
+        ev = self.ev
+        while ct.level > 0:
+            ct = ev.rescale(ct)
+        return ct
+
+    def mod_up(self, ct: Ciphertext) -> Ciphertext:
+        """Centered lift of a level-0 ct into the full chain (ref :616)."""
+        p = self.params
+        L = p.max_level
+        q0 = p.q_moduli[0]
+        v = ct.value
+        if ct.is_ntt:
+            v = p.ring_q.intt(v, 0)
+        x = v[..., 0, :]  # [..., d+1, N] residues mod q0 (limb axis squeezed)
+        half = jnp.uint64(q0 >> 1)
+        q = p.ring_q.q[: L + 1]
+        bhi = p.ring_q.bred_hi[: L + 1]
+        xb = x[..., None, :]
+        pos = modops.bred_add(xb, q, bhi)
+        neg_mag = modops.bred_add(jnp.uint64(q0) - xb, q, bhi)
+        neg = jnp.where(neg_mag == 0, neg_mag, q - neg_mag)
+        lifted = jnp.where(xb > half, neg, pos)
+        lifted = p.ring_q.ntt(lifted, L)
+        # relabel scale to q0: slot values become m/q0 + I
+        return ct.replace(value=lifted, is_ntt=True, scale=Fraction(q0))
+
+    # -- full pipeline ------------------------------------------------------------
+
+    def bootstrap(self, ct: Ciphertext) -> Ciphertext:
+        """ref Bootstrap:219 / bootstrap:518."""
+        ev = self.ev
+        p = self.params
+        ct0 = self.scale_down(ct)
+        delta0 = Fraction(ct0.scale)
+        q0 = Fraction(p.q_moduli[0])
+
+        up = self.mod_up(ct0)
+        ct_re, ct_im = self.dft.coeffs_to_slots(up)
+        ct_re = self.mod1.evaluate(ct_re)
+        ct_im = self.mod1.evaluate(ct_im)
+        out = self.dft.slots_to_coeffs(ct_re, ct_im)
+        # undo the q0 relabel: poly = Δ'·m/q0 → scale = Δ'·Δ₀/q0
+        return out.replace(scale=Fraction(out.scale) * delta0 / q0)
+
+    def bootstrap_many(self, cts: list[Ciphertext]) -> list[Ciphertext]:
+        """Batch bootstrap — on TPU the batch axis makes this native; a
+        list API is kept for parity (ref BootstrapMany:229)."""
+        return [self.bootstrap(c) for c in cts]

@@ -1,0 +1,92 @@
+"""Homomorphic x mod 1 (EvalMod) — the heart of CKKS bootstrapping.
+
+TPU-native analog of ``circuits/ckks/mod1``. Strategy (ref
+mod1_parameters.go:17, mod1_evaluator.go:31):
+
+    y ∈ [−K, K], |y mod 1| ≤ 2^{−log_message_ratio}
+    1. t = y/K                        (map to Chebyshev interval [−1, 1])
+    2. c = P(t) ≈ cos(2π·(K·t − 1/4)/2^r)   (Chebyshev, degree `degree`)
+    3. r × double angle: c ← 2c² − 1  → c = cos(2π(y − 1/4)) = sin(2πy)
+    4. out = c/(2π) ≈ y mod 1   (+ optional arcsine correction polynomial)
+
+The 1/(2π) factor is embedded into the Chebyshev coefficients via the
+double-angle-compatible scaling (ref mod1_evaluator.go:61): with
+s_0 = (2π)^{-1/2^r}, c_0 = s_0·cos(θ/2^r) and the modified recurrence
+c ← 2c² − s_i², s_i ← s_i², the invariant c_i = s_i·cos(θ/2^{r-i}) holds
+and the final iterate equals sin(2πy)/(2π) at no extra depth.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from fractions import Fraction
+
+import numpy as np
+
+from lattigo_tpu.circuits.polynomial import (
+    Polynomial, PolynomialEvaluator, chebyshev_approximate, CHEBYSHEV,
+)
+from lattigo_tpu.rlwe.elements import Ciphertext
+
+
+@dataclass(frozen=True)
+class Mod1Parameters:
+    """ref mod1_parameters.go:32 Mod1ParametersLiteral."""
+
+    k: int = 16                  # interval half-width (#(q-multiples) covered)
+    degree: int = 30             # Chebyshev degree of the cosine approx
+    double_angle: int = 3        # r
+    log_message_ratio: int = 8   # log2(q/|m|) bound
+    arcsine_degree: int = 0      # optional arcsine correction
+
+
+class Mod1Evaluator:
+    """ref mod1_evaluator.go:31."""
+
+    def __init__(self, ckks_eval, mod1_params: Mod1Parameters):
+        self.ev = ckks_eval
+        self.p1 = mod1_params
+        self.poly_eval = PolynomialEvaluator(ckks_eval)
+        self._poly = self._gen_poly()
+
+    def _gen_poly(self) -> Polynomial:
+        k, r = self.p1.k, self.p1.double_angle
+        s = (2 * math.pi) ** (-1.0 / (1 << r))  # scale embedded per√ level
+
+        def f(t):
+            return s * math.cos(2 * math.pi * (k * t - 0.25) / (1 << r))
+
+        poly = chebyshev_approximate(f, self.p1.degree, interval=(-1.0, 1.0))
+        return poly
+
+    def evaluate(self, ct: Ciphertext) -> Ciphertext:
+        """ct slots hold y ∈ [−K, K]; returns slots ≈ (y mod 1) centered."""
+        ev = self.ev
+        k, r = self.p1.k, self.p1.double_angle
+        s = (2 * math.pi) ** (-1.0 / (1 << r))
+
+        # map to [−1, 1]: t = y/K (one constant mul + rescale)
+        t = ev.rescale(ev.mul_const(ct, 1.0 / k))
+        c = self.poly_eval.evaluate(t, self._poly)
+        # double angle with embedded scale: c_i = s_i·cos(θ/2^{r-i}) with
+        # s_{i+1} = s_i² satisfies c_{i+1} = 2c_i² − s_i²; s_r = 1/(2π).
+        si = s
+        for _ in range(r):
+            sq = ev.mul_relin(c, c)
+            sq = ev.add(sq, sq)
+            sq = ev.rescale(sq)
+            c = ev.sub(sq, si * si)
+            si = si * si
+        if self.p1.arcsine_degree > 0:
+            # arcsine(u)/(2π) correction: asin series on u = sin(2πy)/(2π)
+            coeffs = [0.0] * (self.p1.arcsine_degree + 1)
+            # asin(2π u)/(2π) = u + (2π)²u³/6 + 3(2π)⁴u⁵/40 + ...
+            fac = 2 * math.pi
+            series = {1: 1.0, 3: fac**2 / 6.0, 5: 3.0 * fac**4 / 40.0,
+                      7: 15.0 * fac**6 / 336.0}
+            for d, v in series.items():
+                if d <= self.p1.arcsine_degree:
+                    coeffs[d] = v
+            c = self.poly_eval.evaluate(c, Polynomial(coeffs, basis="monomial"))
+        return c

@@ -37,17 +37,29 @@ class Evaluator(RlweEvaluator):
     # -- scale management ---------------------------------------------------------
 
     def _match_scales(self, ct0: Ciphertext, ct1: Ciphertext):
+        """Bring both operands to the larger scale.
+
+        The smaller-scale operand is multiplied by ⌊s_big/s_small⌋ and then
+        RELABELED to s_big — exactly the reference's big-float truncation
+        (ref evaluator.go:246 ratioFlo.Int): the residual relative mismatch
+        (e.g. q_i·q_j/2^90 − 1 ≈ 1e-9 after two rescales) is folded into the
+        message error. A large mismatch indicates a circuit bug and raises.
+        """
         s0, s1 = Fraction(ct0.scale), Fraction(ct1.scale)
         if s0 == s1:
             return ct0, ct1
-        if s1 > s0:
-            r = s1 / s0
-            if r.denominator != 1:
-                raise ValueError(f"non-integral scale ratio {r}")
-            v = self.params.ring_q.mul_scalar(ct0.value, r.numerator, ct0.level)
-            return ct0.replace(value=v, scale=s1), ct1
-        ct1m, ct0m = self._match_scales(ct1, ct0)
-        return ct0m, ct1m
+        if s1 < s0:
+            ct1m, ct0m = self._match_scales(ct1, ct0)
+            return ct0m, ct1m
+        ri = int(s1 / s0)  # floor
+        if ri > 1:
+            v = self.params.ring_q.mul_scalar(ct0.value, ri, ct0.level)
+            ct0 = ct0.replace(value=v, scale=s0 * ri)
+            s0 = s0 * ri
+        rel = float(s1 / s0)
+        if not (1.0 <= rel < 1.01):
+            raise ValueError(f"scale mismatch too large to fold: {s0} vs {s1}")
+        return ct0.replace(scale=s1), ct1
 
     # -- linear ops --------------------------------------------------------------------
 
@@ -90,15 +102,23 @@ class Evaluator(RlweEvaluator):
         s0, s1 = Fraction(ct.scale), Fraction(pt.scale)
         if s0 == s1:
             return ct, pt
-        r = s1 / s0
-        if r.denominator == 1:
-            v = self.params.ring_q.mul_scalar(ct.value, r.numerator, ct.level)
-            return ct.replace(value=v, scale=s1), pt
-        r = s0 / s1
-        if r.denominator == 1:
-            v = self.params.ring_q.mul_scalar(pt.value, r.numerator, pt.level)
-            return ct, pt.replace(value=v, scale=s0)
-        raise ValueError(f"non-integral ct/pt scale ratio {s0}/{s1}")
+        if s1 > s0:
+            ri = int(s1 / s0)
+            if ri > 1:
+                v = self.params.ring_q.mul_scalar(ct.value, ri, ct.level)
+                ct = ct.replace(value=v, scale=s0 * ri)
+                s0 = s0 * ri
+        else:
+            ri = int(s0 / s1)
+            if ri > 1:
+                v = self.params.ring_q.mul_scalar(pt.value, ri, pt.level)
+                pt = pt.replace(value=v, scale=s1 * ri)
+                s1 = s1 * ri
+        rel = float(max(s0, s1) / min(s0, s1))
+        if not (1.0 <= rel < 1.01):
+            raise ValueError(f"ct/pt scale mismatch too large to fold: {s0} vs {s1}")
+        hi = max(s0, s1)
+        return ct.replace(scale=hi), pt.replace(scale=hi)
 
     def _resize(self, ct: Ciphertext, degree: int, level: int):
         v = ct.value[..., : level + 1, :]

@@ -9,13 +9,18 @@ Must run before any jax import, hence the env mutation at module top.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image's sitecustomize pre-imports jax and pins JAX_PLATFORMS=axon (the
+# TPU tunnel). Env mutation is therefore too late — jax.config.update is the
+# only reliable override. Running tests over the tunnel is both wrong (it
+# serializes clients) and ~100x slower (eager ops pay a network RTT each).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent XLA compilation cache: identical (shape, level) programs are
