@@ -1,0 +1,23 @@
+"""Multiparty / threshold HE protocols (L5 of the stack).
+
+TPU-native analog of ``multiparty/`` (+ scheme instantiations mpckks/mpbgv):
+collective key generation (CPK/RLK/GK), collective key switching (CKS/PCKS),
+enc↔share conversion and refresh, and t-out-of-N Shamir thresholdization.
+Transport is the application's job — shares are plain pytrees.
+"""
+
+from lattigo_tpu.multiparty.protocols import (
+    PublicKeyGenProtocol, KeySwitchProtocol, PublicKeySwitchProtocol,
+    GaloisKeyGenProtocol, RelinearizationKeyGenProtocol,
+    NoiseFlooding, sample_crp_qp,
+)
+from lattigo_tpu.multiparty.threshold import (
+    Thresholdizer, Combiner, ShamirPolynomial,
+)
+
+__all__ = [
+    "PublicKeyGenProtocol", "KeySwitchProtocol", "PublicKeySwitchProtocol",
+    "GaloisKeyGenProtocol", "RelinearizationKeyGenProtocol",
+    "NoiseFlooding", "sample_crp_qp",
+    "Thresholdizer", "Combiner", "ShamirPolynomial",
+]

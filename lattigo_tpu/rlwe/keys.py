@@ -119,8 +119,13 @@ class KeyGenerator:
         return jnp.asarray(np.array(vals, dtype=np.uint64).reshape(level_q + 1, 1))
 
     def gadget_encrypt(self, key, m_q, sk_out: SecretKey,
-                       level_q: int | None = None) -> GadgetCiphertext:
-        """Gadget-encrypt m (Q part, NTT+Montgomery, u64[lq+1, N]) under sk_out."""
+                       level_q: int | None = None,
+                       row: int = 0) -> GadgetCiphertext:
+        """Gadget-encrypt m (Q part, NTT+Montgomery, u64[lq+1, N]) under sk_out.
+
+        ``row`` selects which component carries m·g: 0 (standard, EVKs) or
+        1 (the RGSW "c1" half: rows (−a·s+e, a+m·g), ref core/rgsw/elements.go).
+        """
         p = self.params
         if p.ring_p is None:
             raise NotImplementedError(
@@ -145,9 +150,13 @@ class KeyGenerator:
             # m·g_d on the digit's own rows (both operands M-form → M-form).
             term = modops.mred(
                 m_q[..., lo:hi, :], gfac[lo:hi], rq.q[lo:hi], rq.qinv[lo:hi])
-            c0q = c0.q.at[..., lo:hi, :].set(
-                modops.add_mod(c0.q[..., lo:hi, :], term, rq.q[lo:hi]))
-            rows.append(qp_stack([QPPoly(c0q, c0.p), c1]))
+            tgt = c0 if row == 0 else c1
+            tgt_q = tgt.q.at[..., lo:hi, :].set(
+                modops.add_mod(tgt.q[..., lo:hi, :], term, rq.q[lo:hi]))
+            if row == 0:
+                rows.append(qp_stack([QPPoly(tgt_q, c0.p), c1]))
+            else:
+                rows.append(qp_stack([c0, QPPoly(tgt_q, c1.p)]))
         return GadgetCiphertext(qp_stack(rows))
 
     # -- evaluation keys ------------------------------------------------------------
