@@ -49,7 +49,10 @@ class BootstrappingEvaluator:
         self.btp = bts_params
 
         L = params.max_level
-        n_c2s = len(bts_params.c2s_levels)
+        # C2S consumes one matrix level per entry plus one for the 0.5
+        # conjugation-split constant mul+rescale at the end of
+        # coeffs_to_slots.
+        n_c2s = len(bts_params.c2s_levels) + 1
         n_s2c = len(bts_params.s2c_levels)
         mod1_depth = self._mod1_depth(bts_params.mod1)
         # level layout (top to bottom): C2S | EvalMod | S2C | residual | q0
@@ -70,8 +73,10 @@ class BootstrappingEvaluator:
 
     @staticmethod
     def _mod1_depth(m1: Mod1Parameters) -> int:
-        poly_depth = max(1, (m1.degree).bit_length())
-        return 1 + poly_depth + m1.double_angle  # map-to-interval + poly + r
+        # map-to-interval (1) + Paterson-Stockmeyer (giant chain + final
+        # product, bit_length+1) + double-angle squarings (r)
+        poly_depth = max(2, m1.degree.bit_length() + 1)
+        return 1 + poly_depth + m1.double_angle
 
     def with_evaluator(self, ckks_eval) -> "BootstrappingEvaluator":
         self.ev = ckks_eval

@@ -24,10 +24,17 @@ from fractions import Fraction
 
 import numpy as np
 
+from lattigo_tpu.circuits import polynomial as poly_mod
 from lattigo_tpu.circuits.polynomial import (
     Polynomial, PolynomialEvaluator, chebyshev_approximate, CHEBYSHEV,
 )
 from lattigo_tpu.rlwe.elements import Ciphertext
+
+
+def _sqrt_fraction(f: Fraction) -> Fraction:
+    """√f as a Fraction with ~60 fractional bits (big-float sqrt analog)."""
+    n = (f.numerator << 120) // f.denominator
+    return Fraction(math.isqrt(n), 1 << 60)
 
 
 @dataclass(frozen=True)
@@ -61,14 +68,35 @@ class Mod1Evaluator:
         return poly
 
     def evaluate(self, ct: Ciphertext) -> Ciphertext:
-        """ct slots hold y ∈ [−K, K]; returns slots ≈ (y mod 1) centered."""
+        """ct slots hold y ∈ [−K, K]; returns slots ≈ (y mod 1) centered.
+
+        Scale choreography (ref mod1_evaluator.go:52-58): each double-angle
+        squaring maps scale σ → σ²/q, so the polynomial is evaluated at the
+        target ∏√q staging scale that makes the r squarings land exactly on
+        the default scale. The landing primes are predicted with the
+        metadata-only :class:`~lattigo_tpu.circuits.polynomial.SimEvaluator`
+        (the reference's polynomial_evaluator_sim.go analog). For this to be
+        numerically stable the chain primes spanning the mod-1 levels must
+        be ≈ the working scale (the reference's EvalModLogScale design).
+        """
         ev = self.ev
+        p = ev.params
         k, r = self.p1.k, self.p1.double_angle
         s = (2 * math.pi) ** (-1.0 / (1 << r))
 
         # map to [−1, 1]: t = y/K (one constant mul + rescale)
         t = ev.rescale(ev.mul_const(ct, 1.0 / k))
-        c = self.poly_eval.evaluate(t, self._poly)
+
+        # plan: poly output level with a throwaway target, then stage the
+        # real target backward through the r double-angle rescales
+        lc = poly_mod.simulate(p, t.level, Fraction(t.scale), self._poly,
+                               p.default_scale_fraction).level
+        target = Fraction(p.default_scale_fraction)
+        for i in range(r):
+            target = _sqrt_fraction(
+                target * Fraction(p.q_moduli[lc - r + 1 + i]))
+
+        c = self.poly_eval.evaluate(t, self._poly, target)
         # double angle with embedded scale: c_i = s_i·cos(θ/2^{r-i}) with
         # s_{i+1} = s_i² satisfies c_{i+1} = 2c_i² − s_i²; s_r = 1/(2π).
         si = s

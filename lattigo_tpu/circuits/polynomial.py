@@ -114,6 +114,66 @@ class PowerBasis:
         return out
 
 
+class SimCiphertext:
+    """Metadata-only ciphertext: (level, scale) for evaluation planning.
+
+    The reference pre-plans every rescaling with a big-float SimEvaluator
+    (ref polynomial_evaluator_sim.go:7); this is its TPU-build analog —
+    running the *same* evaluation code against metadata-only objects to
+    learn output levels/scales without touching device data.
+    """
+
+    __slots__ = ("level", "scale", "value")
+
+    def __init__(self, level: int, scale):
+        self.level = level
+        self.scale = Fraction(scale)
+        self.value = np.zeros(0, dtype=np.uint64)  # placates zero-ct paths
+
+    def at_level(self, level: int) -> "SimCiphertext":
+        return SimCiphertext(min(self.level, level), self.scale)
+
+    def replace(self, value=None, scale=None) -> "SimCiphertext":
+        return SimCiphertext(self.level,
+                             self.scale if scale is None else scale)
+
+
+class SimEvaluator:
+    """Level/scale shadow of the CKKS evaluator (ref polynomial_evaluator_sim.go)."""
+
+    def __init__(self, params):
+        self.params = params
+
+    def add(self, ct, op):
+        if isinstance(op, SimCiphertext):
+            return SimCiphertext(min(ct.level, op.level),
+                                 max(ct.scale, op.scale))
+        return ct
+
+    sub = add
+
+    def mul_relin(self, ct0, ct1):
+        return SimCiphertext(min(ct0.level, ct1.level), ct0.scale * ct1.scale)
+
+    def mul_const(self, ct, c, const_scale=None):
+        cs = (Fraction(self.params.q_moduli[ct.level])
+              if const_scale is None else Fraction(const_scale))
+        return SimCiphertext(ct.level, ct.scale * cs)
+
+    def rescale(self, ct):
+        return SimCiphertext(ct.level - 1,
+                             ct.scale / Fraction(self.params.q_moduli[ct.level]))
+
+
+def simulate(params, level: int, scale, poly: "Polynomial",
+             target_scale=None) -> SimCiphertext:
+    """Dry-run a P-S evaluation: returns the output (level, scale)."""
+    sim = PolynomialEvaluator.__new__(PolynomialEvaluator)
+    sim.ev = SimEvaluator(params)
+    sim.params = params
+    return sim.evaluate(SimCiphertext(level, scale), poly, target_scale)
+
+
 class PolynomialEvaluator:
     """P-S evaluation on CKKS ciphertexts (ref polynomial_evaluator.go:23)."""
 
