@@ -37,6 +37,18 @@ class BootstrappingParameters:
     s2c_levels: list[int] = field(default_factory=lambda: [1, 1, 1])
     mod1: Mod1Parameters = field(default_factory=Mod1Parameters)
     residual_levels: int = 1   # levels available to the user after bootstrap
+    # Sparse-secret encapsulation (ia.cr/2022/024, ref EphemeralSecretWeight):
+    # ModUp runs under an ephemeral sparse key of this Hamming weight, which
+    # shrinks the EvalMod integer bound K. None disables encapsulation.
+    ephemeral_secret_weight: int | None = None
+
+
+@dataclass
+class BootstrappingKeys:
+    """Encapsulation key pair (ref bootstrapping/keys.go:15)."""
+
+    evk_dense_to_sparse: object = None   # rlwe.EvaluationKey
+    evk_sparse_to_dense: object = None
 
 
 class BootstrappingEvaluator:
@@ -85,6 +97,24 @@ class BootstrappingEvaluator:
         self.mod1.poly_eval.ev = ckks_eval
         return self
 
+    def gen_encapsulation_keys(self, key, sk) -> BootstrappingKeys:
+        """Ephemeral sparse key + the dense↔sparse switching EVKs
+        (ref bootstrapping/keys.go:69 GenEvaluationKeys)."""
+        if self.btp.ephemeral_secret_weight is None:
+            return BootstrappingKeys()
+        import jax
+        from lattigo_tpu.ring.sampling import Ternary
+        from lattigo_tpu.rlwe.keys import KeyGenerator
+
+        kgen = KeyGenerator(self.params)
+        k_sk, k_d2s, k_s2d = jax.random.split(key, 3)
+        sk_sparse = kgen.gen_secret_key(
+            k_sk, dist=Ternary(hamming_weight=self.btp.ephemeral_secret_weight))
+        return BootstrappingKeys(
+            evk_dense_to_sparse=kgen.gen_evaluation_key(k_d2s, sk, sk_sparse),
+            evk_sparse_to_dense=kgen.gen_evaluation_key(k_s2d, sk_sparse, sk),
+        )
+
     def galois_elements(self) -> list[int]:
         return self.dft.galois_elements()
 
@@ -120,15 +150,25 @@ class BootstrappingEvaluator:
 
     # -- full pipeline ------------------------------------------------------------
 
-    def bootstrap(self, ct: Ciphertext) -> Ciphertext:
-        """ref Bootstrap:219 / bootstrap:518."""
+    def bootstrap(self, ct: Ciphertext,
+                  keys: BootstrappingKeys | None = None) -> Ciphertext:
+        """ref Bootstrap:219 / bootstrap:518.
+
+        With encapsulation keys, ModUp runs under the ephemeral sparse
+        secret: switch down at level 0 (cheap), lift, switch back at the
+        top (ref bootstrap:616 EvkDenseToSparse/EvkSparseToDense).
+        """
         ev = self.ev
         p = self.params
         ct0 = self.scale_down(ct)
         delta0 = Fraction(ct0.scale)
         q0 = Fraction(p.q_moduli[0])
 
+        if keys is not None and keys.evk_dense_to_sparse is not None:
+            ct0 = ev.apply_evaluation_key(ct0, keys.evk_dense_to_sparse)
         up = self.mod_up(ct0)
+        if keys is not None and keys.evk_sparse_to_dense is not None:
+            up = ev.apply_evaluation_key(up, keys.evk_sparse_to_dense)
         ct_re, ct_im = self.dft.coeffs_to_slots(up)
         ct_re = self.mod1.evaluate(ct_re)
         ct_im = self.mod1.evaluate(ct_im)
@@ -136,7 +176,8 @@ class BootstrappingEvaluator:
         # undo the q0 relabel: poly = Δ'·m/q0 → scale = Δ'·Δ₀/q0
         return out.replace(scale=Fraction(out.scale) * delta0 / q0)
 
-    def bootstrap_many(self, cts: list[Ciphertext]) -> list[Ciphertext]:
+    def bootstrap_many(self, cts: list[Ciphertext],
+                       keys: BootstrappingKeys | None = None) -> list[Ciphertext]:
         """Batch bootstrap — on TPU the batch axis makes this native; a
         list API is kept for parity (ref BootstrapMany:229)."""
-        return [self.bootstrap(c) for c in cts]
+        return [self.bootstrap(c, keys) for c in cts]

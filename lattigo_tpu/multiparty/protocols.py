@@ -107,7 +107,9 @@ class KeySwitchProtocol:
         return p.ring_q.add(h, p.ring_q.ntt(e, level), level)
 
     def aggregate_shares(self, s1, s2):
-        return self.params.ring_q.add(s1, s2)
+        # level travels in the limb axis; adding at the default level would
+        # broadcast level-l shares against the full chain
+        return self.params.ring_q.add(s1, s2, s1.shape[-2] - 1)
 
     def key_switch(self, ct: Ciphertext, combined) -> Ciphertext:
         """out = (c0 + h, c1) (ref KeySwitch:133)."""
@@ -149,7 +151,9 @@ class PublicKeySwitchProtocol:
 
     def aggregate_shares(self, s1, s2):
         p = self.params
-        return (p.ring_q.add(s1[0], s2[0]), p.ring_q.add(s1[1], s2[1]))
+        level = s1[0].shape[-2] - 1
+        return (p.ring_q.add(s1[0], s2[0], level),
+                p.ring_q.add(s1[1], s2[1], level))
 
     def key_switch(self, ct: Ciphertext, combined) -> Ciphertext:
         p = self.params

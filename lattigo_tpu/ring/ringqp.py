@@ -92,6 +92,11 @@ class RingQP:
             a, b,
         )
 
+    def imform(self, a: QPPoly, level_q: int | None = None) -> QPPoly:
+        return self._map(
+            lambda x: self.ring_q.imform(x, level_q),
+            lambda x: self.ring_p.imform(x), a)
+
     def reduce(self, a: QPPoly, level_q: int | None = None) -> QPPoly:
         return self._map(
             lambda x: self.ring_q.reduce(x, level_q),

@@ -194,8 +194,7 @@ class KeyedPRNG:
         out = np.zeros((l, ring.n), dtype=np.uint64)
         for i in range(l):
             q = ring.moduli[i]
-            hi = self.read_u64(ring.n)
-            lo = self.read_u64(ring.n)
-            for j in range(ring.n):
-                out[i, j] = ((int(hi[j]) << 64) | int(lo[j])) % q
+            hi = self.read_u64(ring.n).astype(object)
+            lo = self.read_u64(ring.n).astype(object)
+            out[i] = (((hi << 64) | lo) % q).astype(np.uint64)
         return jnp.asarray(out)

@@ -57,6 +57,27 @@ class Encryptor:
             ct = ct.replace(value=p.ring_q.intt(ct.value, level), is_ntt=False)
         return ct
 
+    def encrypt_zero_seeded(self, key, seed: bytes,
+                            level: int | None = None) -> Ciphertext:
+        """sk-encryption with c1 derived from a deterministic seed.
+
+        The c1 component can be dropped on the wire and re-derived by the
+        receiver from the seed — the reference's compressed/seeded
+        ciphertexts (ref encryptor.go:396-437). Requires a SecretKey.
+        """
+        p = self.params
+        assert isinstance(self.key, SecretKey), "seeded encryption needs sk"
+        level = p.max_level if level is None else level
+        c1 = sampling.KeyedPRNG(seed).uniform_poly(p.ring_q, level)  # NTT dom
+        e = p.ring_q.ntt(
+            sampling.lift_signed(
+                p.ring_q, sampling.signed(key, p.n, p.xe), level), level)
+        c1s = p.ring_q.mul_mont(
+            c1, self.key.value.q[..., : level + 1, :], level)
+        # mul_mont treats sk (M-form) as the Montgomery operand: plain c1·s
+        c0 = p.ring_q.sub(e, c1s, level)
+        return ciphertext_from_polys([c0, c1], is_ntt=True)
+
     # -- public-key path: u·pk + (e0,e1) over QP, ModDown by P (ref :204) --------
 
     def _encrypt_zero_pk(self, key, level: int, batch) -> Ciphertext:

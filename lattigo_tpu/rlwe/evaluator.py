@@ -200,17 +200,47 @@ class Evaluator:
         return els
 
     def inner_sum(self, ct: Ciphertext, batch: int, n: int) -> Ciphertext:
-        """Σ_{i<n} rot(ct, i·batch) via log-depth rotations (ref inner_sum.go:317).
+        """Σ_{i<n} rot(ct, i·batch), log-depth, any n (ref inner_sum.go:317).
 
-        Requires n to be a power of two (generic n handled by schemes later).
+        Binary decomposition: doubling ladders build Σ_{i<2^j}, and each set
+        bit of n contributes its ladder rotated past the lower blocks.
         """
-        assert n & (n - 1) == 0, "inner_sum currently requires power-of-two n"
         level = ct.level
-        out = ct
-        k = 1
-        while k < n:
-            rot = self.rotate_columns(out, k * batch)
-            out = out.replace(
-                value=self.params.ring_q.add(out.value, rot.value, level))
-            k <<= 1
-        return out
+        rq = self.params.ring_q
+        acc = None
+        cur = ct          # Σ_{i<m} rot(ct, i·batch)
+        m = 1
+        pos = 0           # Σ of lower set bits (block offset)
+        while m <= n:
+            if n & m:
+                part = cur if pos == 0 else self.rotate_columns(cur, pos * batch)
+                acc = part if acc is None else acc.replace(
+                    value=rq.add(acc.value, part.value, level))
+                pos += m
+            m <<= 1
+            if m <= n:
+                cur = cur.replace(value=rq.add(
+                    cur.value,
+                    self.rotate_columns(cur, (m >> 1) * batch).value, level))
+        return acc
+
+    def replicate(self, ct: Ciphertext, batch: int, n: int) -> Ciphertext:
+        """Replicate each batch block n times leftward: InnerSum with the
+        opposite rotation direction (ref inner_sum.go:475 Replicate)."""
+        return self.inner_sum(ct, -batch, n)
+
+    def galois_elements_for_inner_sum(self, batch: int, n: int) -> list[int]:
+        """Galois keys needed by :meth:`inner_sum` (ref inner_sum.go:442)."""
+        p = self.params
+        els = set()
+        m = 1
+        pos = 0
+        while m <= n:
+            if n & m:
+                if pos != 0:
+                    els.add(p.galois_element(pos * batch))
+                pos += m
+            m <<= 1
+            if m <= n:
+                els.add(p.galois_element((m >> 1) * batch))
+        return sorted(els)

@@ -64,6 +64,50 @@ class GadgetCiphertext:
 
 
 @struct.dataclass
+class CompressedGadgetCiphertext:
+    """Seeded gadget ciphertext: stores only the c0 rows + the PRNG seed.
+
+    The uniform c1 rows are re-derived from the seed on :meth:`expand`,
+    halving key material on the wire (ref keys.go:298-424 compressed EVKs,
+    re-expanded on load via the seeded PRNG).
+    """
+
+    c0: QPPoly  # [beta, LQ/LP, N], NTT+Montgomery
+    seed: bytes = struct.field(pytree_node=False, default=b"")
+
+    def expand(self, params: Parameters) -> GadgetCiphertext:
+        level_q = self.c0.q.shape[-2] - 1
+        beta = self.c0.q.shape[-3]
+        c1 = _seeded_gadget_c1(params, self.seed, beta, level_q)
+        rows = [qp_stack([QPPoly(self.c0.q[..., d, :, :], self.c0.p[..., d, :, :]),
+                          c1[d]]) for d in range(beta)]
+        return GadgetCiphertext(qp_stack(rows))
+
+
+def compress_gadget(gadget: GadgetCiphertext,
+                    seed: bytes) -> CompressedGadgetCiphertext:
+    """Strip the (seed-derived) c1 rows from a gadget ciphertext generated
+    with ``gadget_encrypt(..., seed=seed)``."""
+    return CompressedGadgetCiphertext(
+        c0=QPPoly(gadget.value.q[..., 0, :, :], gadget.value.p[..., 0, :, :]),
+        seed=seed)
+
+
+def _seeded_gadget_c1(params: Parameters, seed: bytes, beta: int,
+                      level_q: int) -> list[QPPoly]:
+    """The beta uniform NTT+Montgomery QP rows derived from a seed."""
+    prng = sampling.KeyedPRNG(seed)
+    rqp = params.ring_qp
+    out = []
+    for _ in range(beta):
+        q = prng.uniform_poly(params.ring_q, level_q)
+        pp = (prng.uniform_poly(params.ring_p)
+              if params.ring_p is not None else None)
+        out.append(rqp.mform(QPPoly(q, pp), level_q))
+    return out
+
+
+@struct.dataclass
 class EvaluationKey:
     """Key-switch key sk_in → sk_out (ref keys.go:293)."""
 
@@ -93,9 +137,11 @@ class KeyGenerator:
 
     # -- secret / public keys ---------------------------------------------------
 
-    def gen_secret_key(self, key) -> SecretKey:
+    def gen_secret_key(self, key, dist=None) -> SecretKey:
+        """Sample sk from params.xs, or an explicit distribution (e.g. a
+        sparse Ternary for bootstrapping encapsulation keys)."""
         p = self.params
-        x = sampling.signed(key, p.n, p.xs)
+        x = sampling.signed(key, p.n, p.xs if dist is None else dist)
         qp = p.ring_qp.lift_signed(x)
         qp = p.ring_qp.ntt(qp)
         return SecretKey(p.ring_qp.mform(qp))
@@ -120,12 +166,16 @@ class KeyGenerator:
 
     def gadget_encrypt(self, key, m_q, sk_out: SecretKey,
                        level_q: int | None = None,
-                       row: int = 0) -> GadgetCiphertext:
+                       row: int = 0, seed: bytes | None = None) -> GadgetCiphertext:
         """Gadget-encrypt m (Q part, NTT+Montgomery, u64[lq+1, N]) under sk_out.
 
         ``row`` selects which component carries m·g: 0 (standard, EVKs) or
         1 (the RGSW "c1" half: rows (−a·s+e, a+m·g), ref core/rgsw/elements.go).
+        When ``seed`` is given, the uniform c1 rows are derived from the
+        deterministic KeyedPRNG so the result can be shipped compressed
+        (see :class:`CompressedGadgetCiphertext`; requires ``row == 0``).
         """
+        assert seed is None or row == 0, "seeded c1 incompatible with RGSW row 1"
         p = self.params
         if p.ring_p is None:
             raise NotImplementedError(
@@ -138,14 +188,23 @@ class KeyGenerator:
         rq = p.ring_q
         lq = level_q + 1
 
+        c1_seeded = (None if seed is None
+                     else _seeded_gadget_c1(p, seed, beta, level_q))
         rows = []
         for d in range(beta):
             key, ka, ke = jax.random.split(key, 3)
-            a = rqp.uniform(ka, level_q)
+            if c1_seeded is None:
+                a = rqp.uniform(ka, level_q)
+                c1 = rqp.mform(a, level_q)
+                a_s = rqp.mul_mont(a, rqp.at_level(sk_out.value, level_q),
+                                   level_q)
+            else:
+                c1 = c1_seeded[d]  # already M-form; imform for the product
+                a = rqp.imform(c1, level_q)
+                a_s = rqp.mul_mont(a, rqp.at_level(sk_out.value, level_q),
+                                   level_q)
             e = rqp.ntt(rqp.sample_signed(ke, p.xe, level_q), level_q)
-            a_s = rqp.mul_mont(a, rqp.at_level(sk_out.value, level_q), level_q)
             c0 = rqp.mform(rqp.sub(e, a_s, level_q), level_q)
-            c1 = rqp.mform(a, level_q)
             lo, hi = d * alpha, min((d + 1) * alpha, lq)
             # m·g_d on the digit's own rows (both operands M-form → M-form).
             term = modops.mred(

@@ -16,7 +16,9 @@ from lattigo_tpu.circuits import bootstrapping as bts
 from lattigo_tpu.circuits.mod1 import Mod1Parameters
 
 
-def test_bootstrap_end_to_end():
+@pytest.mark.parametrize("ephemeral_weight", [None, 16],
+                         ids=["dense", "sparse-encapsulated"])
+def test_bootstrap_end_to_end(ephemeral_weight):
     # Chain layout (bottom→top): q0(55) | residual(45) | S2C 2x45 |
     # EvalMod 11x55 | C2S 3x55. EvalMod primes match the 2^55 working scale
     # (the reference's EvalModLogScale design) so the Chebyshev power-basis
@@ -40,6 +42,7 @@ def test_bootstrap_end_to_end():
         mod1=Mod1Parameters(k=16, degree=30, double_angle=4,
                             log_message_ratio=10),
         residual_levels=1,
+        ephemeral_secret_weight=ephemeral_weight,
     )
     btp = bts.BootstrappingEvaluator(params, ev0, enc, btp_params)
 
@@ -47,12 +50,14 @@ def test_bootstrap_end_to_end():
     evk = rlwe.EvaluationKeySet(relinearization_key=rlk, galois_keys=gks)
     btp.with_evaluator(ckks.Evaluator(params, evk))
 
+    enc_keys = btp.gen_encapsulation_keys(jax.random.PRNGKey(77), sk)
+
     rng = np.random.default_rng(1)
     v = rng.uniform(-1, 1, params.max_slots) + 1j * rng.uniform(-1, 1, params.max_slots)
     ct = rlwe.Encryptor(params, sk).encrypt(k_ct, enc.encode(v)).at_level(0)
     assert ct.level == 0
 
-    out = btp.bootstrap(ct)
+    out = btp.bootstrap(ct, enc_keys)
     assert out.level >= btp_params.residual_levels, (
         f"bootstrap returned level {out.level}")
 
