@@ -176,6 +176,33 @@ class BootstrappingEvaluator:
         # undo the q0 relabel: poly = Δ'·m/q0 → scale = Δ'·Δ₀/q0
         return out.replace(scale=Fraction(out.scale) * delta0 / q0)
 
+    def bootstrap_meta(self, ct: Ciphertext, iterations: int = 2,
+                       log_prec: int = 8,
+                       keys: BootstrappingKeys | None = None) -> Ciphertext:
+        """META-BTS: iterate bootstrapping on the residual error to gain
+        ~log_prec bits per extra iteration (ia.cr/2022/024; ref
+        bootstrapping/evaluator.go:315-460 IterationsParameters).
+
+        Round i re-bootstraps diff = ct − out at a scale shrunk by
+        2^log_prec (amplifying the error into the message range), then
+        folds the correction back — all in exact Fraction scale labels.
+        """
+        ev = self.ev
+        out = self.bootstrap(ct, keys)
+        for _ in range(iterations - 1):
+            down = out.at_level(0)
+            diff = ev.sub(ct, down)                      # −err at ct.scale
+            # shrink the scale label: slots now read err·2^log_prec
+            diff = diff.replace(
+                scale=Fraction(diff.scale) / (1 << log_prec))
+            corr = self.bootstrap(diff, keys)
+            # restore units: relabel ×2^log_prec, then fold into out
+            corr = corr.replace(
+                scale=Fraction(corr.scale) * (1 << log_prec))
+            out = ev.add(out.at_level(min(out.level, corr.level)),
+                         corr.at_level(min(out.level, corr.level)))
+        return out
+
     def bootstrap_many(self, cts: list[Ciphertext],
                        keys: BootstrappingKeys | None = None) -> list[Ciphertext]:
         """Batch bootstrap — on TPU the batch axis makes this native; a

@@ -126,7 +126,8 @@ class RingPackingEvaluator:
                 gal = (p.galois_element_order_two if i == 0
                        else p.galois_element(1 << (i - 1)))
                 if b is not None:
-                    b = self._mul_xpow(b, p.n >> i)
+                    # X^{N/2^{i+1}} (ref Pack:703 xPow2[logN-1-i])
+                    b = self._mul_xpow(b, p.n >> (i + 1))
                     cts[jy] = None
                     if a is not None:
                         diff = a.replace(value=p.ring_q.sub(a.value, b.value, level))

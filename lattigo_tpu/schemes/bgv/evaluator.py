@@ -15,6 +15,7 @@ All ciphertext ops broadcast over leading batch axes.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from lattigo_tpu.ring import modops
