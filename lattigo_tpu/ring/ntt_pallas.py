@@ -198,9 +198,14 @@ class NTTPallas:
         for d in shape[:-2]:
             r *= d
         x32 = jnp.moveaxis(x.reshape(r, l, n), 1, 0).astype(jnp.uint32)
-        tb = 8
+        # TB=16 measured ~15% faster than 8 at logN=14 on v5e. Mosaic wants
+        # the block's sublane dim divisible by 8 OR equal to the array dim,
+        # so odd row counts fall back to one whole-array block.
+        tb = 16
         while r % tb:
             tb //= 2
+        if tb < 8 and tb != r:
+            tb = r
         grid = (l, r // tb)
         # index maps must produce i32 (x64 mode turns bare int literals into
         # i64, which Mosaic's func.return cannot legalize)

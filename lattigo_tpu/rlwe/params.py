@@ -52,6 +52,22 @@ class ParametersLiteral:
         d["xs"] = {"type": type(self.xs).__name__, **getattr(self.xs, "__dict__", {})}
         return json.dumps(d)
 
+    @staticmethod
+    def from_json(s: str) -> "ParametersLiteral":
+        """Inverse of :meth:`to_json` (polymorphic distributions, ref
+        ring/sampler.go:156 ParametersFromMap)."""
+        d = json.loads(s)
+        dists = {"DiscreteGaussian": DiscreteGaussian, "Ternary": Ternary,
+                 "Uniform": Uniform}
+        for k in ("xe", "xs"):
+            spec = dict(d[k])
+            cls = dists[spec.pop("type")]
+            d[k] = cls(**spec)
+        for k in ("q", "p", "log_q", "log_p"):
+            if d.get(k) is not None:
+                d[k] = tuple(d[k])
+        return ParametersLiteral(**d)
+
 
 def gen_moduli(log_n: int, nth_root: int, log_q: tuple[int, ...],
                log_p: tuple[int, ...]) -> tuple[list[int], list[int]]:
