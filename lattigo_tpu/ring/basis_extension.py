@@ -49,19 +49,22 @@ class ModUpConstants:
         for i, q in enumerate(src_moduli):
             qhat = Q // q
             qhatinv[i, 0] = _mform_int(pow(qhat % q, -1, q), q)
-        self.qhatinv = jnp.asarray(qhatinv)  # M-form, [Li, 1]
+        # numpy storage: these may be built lazily inside a jit trace,
+        # where jnp arrays would be tracers and poison the cache
+        # (jnp ops accept numpy operands directly)
+        self.qhatinv = qhatinv  # M-form, [Li, 1]
 
         qhat_dst = np.zeros((Li, Lj), dtype=_U64)
         for i, q in enumerate(src_moduli):
             qhat = Q // q
             for j, p in enumerate(dst_moduli):
                 qhat_dst[i, j] = _mform_int(qhat % p, p)
-        self.qhat_dst = jnp.asarray(qhat_dst)  # M-form, [Li, Lj]
+        self.qhat_dst = qhat_dst  # M-form, [Li, Lj]
 
         qneg_dst = np.zeros((Lj, 1), dtype=_U64)
         for j, p in enumerate(dst_moduli):
             qneg_dst[j, 0] = _mform_int((-Q) % p, p)
-        self.qneg_dst = jnp.asarray(qneg_dst)  # M-form of -Q mod p_j
+        self.qneg_dst = qneg_dst  # M-form of -Q mod p_j
 
         # 128-bit fixed-point reciprocals ⌊2^128 / q_i⌋ = whi·2^64 + wlo.
         whi = np.zeros((Li, 1), dtype=_U64)
@@ -70,15 +73,15 @@ class ModUpConstants:
             w = (1 << 128) // q
             whi[i, 0] = (w >> 64) & 0xFFFFFFFFFFFFFFFF
             wlo[i, 0] = w & 0xFFFFFFFFFFFFFFFF
-        self.whi = jnp.asarray(whi)
-        self.wlo = jnp.asarray(wlo)
+        self.whi = whi
+        self.wlo = wlo
 
         # Lazy-accumulation flush margin: how many [0,2p) terms fit in u64.
         pmax = max(dst_moduli)
         self.margin = max(1, ((1 << 64) - 1) // (2 * pmax) - 1)
 
-        self.src_q = jnp.asarray(np.array(src_moduli, dtype=_U64).reshape(Li, 1))
-        self.src_qinv = jnp.asarray(
+        self.src_q = np.array(src_moduli, dtype=_U64).reshape(Li, 1)
+        self.src_qinv = (
             np.array(
                 [modops.gen_mred_constant(q) for q in src_moduli], dtype=_U64
             ).reshape(Li, 1)

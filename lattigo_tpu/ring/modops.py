@@ -104,6 +104,49 @@ def imform(a, q, qinv):
     return cred(q - h, q)  # (a - m·q)/2^64 = -hi(m·q) + (a!=0); equals q-h or 0
 
 
+SMALL_Q_BITS = 30
+
+
+def _is_small(q) -> bool:
+    """True iff every modulus in the (trace-time constant) table is < 2^30.
+
+    Modulus tables are always closure constants — concrete both eagerly and
+    under jit — so this is a static dispatch. If a table ever arrives as a
+    traced argument, fall back to the generic path.
+    """
+    try:
+        import numpy as _np
+        return int(_np.max(_np.asarray(q))) < (1 << SMALL_Q_BITS)
+    except Exception:
+        return False
+
+
+def _mred32_lazy(a, b, q, qinv32):
+    """a·b·2^{-32} mod q in [0, 2q) for q < 2^30, a·b < q·2^32.
+
+    All products fit u64 (the whole point): one multiply replaces each
+    16-bit-split mul_hi of the generic path. Low words of ab and m·q are
+    exactly equal (Montgomery identity), so the high words subtract without
+    borrow.
+    """
+    ab = a * b
+    hi = ab >> _SH32
+    m = ((ab & _MASK32) * qinv32) & _MASK32
+    mh = (m * q) >> _SH32
+    return hi - mh + q
+
+
+def _mred_small_lazy(a, b, q, qinv):
+    """a·b·2^{-64} via two cascaded 32-bit Montgomery steps (q < 2^30).
+
+    Same contract and M-form convention (R = 2^64) as :func:`mred_lazy`;
+    ~2x fewer multiplies. Requires a < 4q, b < q (the callers' invariant).
+    """
+    qinv32 = qinv & _MASK32  # q^{-1} mod 2^32 is the low word of mod 2^64
+    y = _mred32_lazy(a, b, q, qinv32)            # a·b·2^{-32}, [0, 2q)
+    return _mred32_lazy(y, jnp.uint64(1), q, qinv32)  # ×2^{-32}, [0, 2q)
+
+
 def mred(a, b, q, qinv):
     """Montgomery product a·b·2^{-64} mod q, output in [0, q).
 
@@ -111,6 +154,8 @@ def mred(a, b, q, qinv):
     a, b < 2^63 and q < 2^61; callers keep one operand in M-form < q and the
     other < 4q).  Ref ring/modular_reduction.go:78.
     """
+    if _is_small(q):
+        return cred(_mred_small_lazy(a, b, q, qinv), q)
     hi = mul_hi(a, b)
     m = (a * b) * qinv
     h = mul_hi(m, q)
@@ -119,6 +164,8 @@ def mred(a, b, q, qinv):
 
 def mred_lazy(a, b, q, qinv):
     """Montgomery product with lazy output in [0, 2q) (ref :90 MRedLazy)."""
+    if _is_small(q):
+        return _mred_small_lazy(a, b, q, qinv)
     hi = mul_hi(a, b)
     m = (a * b) * qinv
     h = mul_hi(m, q)

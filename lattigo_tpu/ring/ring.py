@@ -133,6 +133,8 @@ class Ring:
                 resc[last, i, 0] = _mform_int(pow(ql, -1, moduli[i]), moduli[i])
         self.rescale_constants = jnp.asarray(resc)
 
+        _ = self._pallas  # build eagerly (see note on the property)
+
     # -- basic properties ---------------------------------------------------
 
     @property
@@ -248,6 +250,11 @@ class Ring:
 
     @functools.cached_property
     def _pallas(self):
+        # NOTE: forced eager at the end of __init__ — building the jnp root
+        # tables lazily inside a jit trace would capture tracers.
+        return self._build_pallas()
+
+    def _build_pallas(self):
         """Fused u32 TPU kernel path, when the chain qualifies (q < 2^30).
 
         5x+ over the stage-by-stage u64 XLA path: native 32-bit lane math

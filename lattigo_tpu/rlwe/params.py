@@ -123,6 +123,10 @@ class Parameters:
         self.ntt_flag = lit.ntt_flag
         self.default_scale = lit.default_scale
 
+        # Build the key-switch machinery eagerly: constructing its jnp
+        # tables lazily inside a jit trace would capture tracers.
+        _ = self.basis_extender, self.decomposer
+
     # -- chain geometry -------------------------------------------------------
 
     @property

@@ -47,7 +47,9 @@ class RingPackingEvaluator:
         else:
             coeffs[k - p.n] = 1
             poly = p.ring_q.neg(p.ring_q.from_int_coeffs(coeffs, level), level)
-        return p.ring_q.mform(p.ring_q.ntt(poly, level), level)
+        # numpy: this lru cache may first fire inside a jit trace, where a
+        # jnp result would be a leaked tracer
+        return np.asarray(p.ring_q.mform(p.ring_q.ntt(poly, level), level))
 
     def _mul_xpow(self, ct: Ciphertext, power: int) -> Ciphertext:
         p = self.params

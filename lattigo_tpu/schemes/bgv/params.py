@@ -55,6 +55,10 @@ class Parameters(rlwe.Parameters):
         # [q_l^{-1} mod T] for scale tracking across rescaling.
         self.qinv_mod_t = [pow(q % t, -1, t) for q in self.q_moduli]
 
+        # Build the BFV double basis eagerly — constructing Ring tables
+        # lazily inside a jit trace would capture tracers.
+        _ = self.ring_qmul
+
     @property
     def plaintext_modulus(self) -> int:
         return self.t

@@ -246,7 +246,9 @@ class Evaluator(RlweEvaluator):
             coeffs = [0] * p.n
             coeffs[p.n // 2] = 1
             poly = p.ring_q.from_int_coeffs(coeffs, level)
-            cache[level] = p.ring_q.mform(p.ring_q.ntt(poly, level), level)
+            # numpy: cache may first fill inside a jit trace
+            cache[level] = np.asarray(
+                p.ring_q.mform(p.ring_q.ntt(poly, level), level))
         return cache[level]
 
     def mul_by_i(self, ct: Ciphertext) -> Ciphertext:
