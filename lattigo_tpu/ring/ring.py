@@ -133,6 +133,30 @@ class Ring:
                 resc[last, i, 0] = _mform_int(pow(ql, -1, moduli[i]), moduli[i])
         self.rescale_constants = jnp.asarray(resc)
 
+        if ring_type == CONJUGATE_INVARIANT:
+            # Per-limb CI transform tables (4N-th roots; ref ring/ntt.go:715,
+            # subring.go NthRoot=4N). See lattigo_tpu.ring.ntt_ci.
+            from lattigo_tpu.ring import ntt_ci as ntt_ci_mod
+            from lattigo_tpu.utils.primes import primitive_nth_root
+            fwd_ci = np.zeros((L, n), dtype=_U64)
+            inv_ci = np.zeros((L, n), dtype=_U64)
+            ff = np.zeros((L, 1), dtype=_U64)
+            fi = np.zeros((L, 1), dtype=_U64)
+            ninv_ci = np.zeros((L, 1), dtype=_U64)
+            for i, q in enumerate(moduli):
+                if (q - 1) % (4 * n) != 0:
+                    raise ValueError(
+                        f"prime {q} not NTT-friendly for the CI ring (4N)")
+                psi4 = primitive_nth_root(q, 4 * n)
+                f, b, f1, i1, nv = ntt_ci_mod.gen_ci_tables(n, psi4, q)
+                fwd_ci[i], inv_ci[i] = f, b
+                ff[i, 0], fi[i, 0], ninv_ci[i, 0] = f1, i1, nv
+            self.ci_roots = jnp.asarray(fwd_ci)
+            self.ci_iroots = jnp.asarray(inv_ci)
+            self.ci_f_fwd = jnp.asarray(ff)
+            self.ci_f_inv = jnp.asarray(fi)
+            self.ci_ninv = jnp.asarray(ninv_ci)
+
         _ = self._pallas  # build eagerly (see note on the property)
 
     # -- basic properties ---------------------------------------------------
@@ -276,12 +300,22 @@ class Ring:
 
     def ntt(self, a, level: int | None = None, lazy: bool = False):
         l = self._lvl(level) + 1
+        if self.ring_type == CONJUGATE_INVARIANT:
+            from lattigo_tpu.ring import ntt_ci as ntt_ci_mod
+            return ntt_ci_mod.ntt_ci(a, self.ci_roots[:l], self.ci_f_fwd[:l],
+                                     self.q[:l], self.qinv[:l], self.log_n,
+                                     lazy=lazy)
         if self._pallas is not None:
             return self._pallas.ntt(a, level, lazy=lazy)
         return ntt_mod.ntt(a, self.roots[:l], self.q[:l], self.qinv[:l], self.log_n, lazy=lazy)
 
     def intt(self, a, level: int | None = None, lazy: bool = False):
         l = self._lvl(level) + 1
+        if self.ring_type == CONJUGATE_INVARIANT:
+            from lattigo_tpu.ring import ntt_ci as ntt_ci_mod
+            return ntt_ci_mod.intt_ci(a, self.ci_iroots[:l], self.ci_f_inv[:l],
+                                      self.ci_ninv[:l], self.q[:l],
+                                      self.qinv[:l], self.log_n, lazy=lazy)
         if self._pallas is not None:
             return self._pallas.intt(a, level, lazy=lazy)
         return ntt_mod.intt(
@@ -290,15 +324,25 @@ class Ring:
 
     def ntt_single(self, i: int, a, lazy: bool = False):
         """NTT over subring i only; a has a singleton limb axis [..., 1, N]."""
+        s = slice(i, i + 1)
+        if self.ring_type == CONJUGATE_INVARIANT:
+            from lattigo_tpu.ring import ntt_ci as ntt_ci_mod
+            return ntt_ci_mod.ntt_ci(a, self.ci_roots[s], self.ci_f_fwd[s],
+                                     self.q[s], self.qinv[s], self.log_n,
+                                     lazy=lazy)
         if self._pallas is not None:
             return self._pallas.ntt_single(i, a, lazy=lazy)
-        s = slice(i, i + 1)
         return ntt_mod.ntt(a, self.roots[s], self.q[s], self.qinv[s], self.log_n, lazy=lazy)
 
     def intt_single(self, i: int, a, lazy: bool = False):
+        s = slice(i, i + 1)
+        if self.ring_type == CONJUGATE_INVARIANT:
+            from lattigo_tpu.ring import ntt_ci as ntt_ci_mod
+            return ntt_ci_mod.intt_ci(a, self.ci_iroots[s], self.ci_f_inv[s],
+                                      self.ci_ninv[s], self.q[s],
+                                      self.qinv[s], self.log_n, lazy=lazy)
         if self._pallas is not None:
             return self._pallas.intt_single(i, a, lazy=lazy)
-        s = slice(i, i + 1)
         return ntt_mod.intt(
             a, self.iroots[s], self.ninv[s], self.q[s], self.qinv[s], self.log_n, lazy=lazy
         )

@@ -25,6 +25,7 @@ from fractions import Fraction
 import numpy as np
 import jax.numpy as jnp
 
+from lattigo_tpu.ring.ring import CONJUGATE_INVARIANT
 from lattigo_tpu.rlwe.elements import Plaintext
 from lattigo_tpu.schemes.ckks.params import Parameters
 
@@ -39,6 +40,83 @@ def _rot_group_exponents(n: int) -> np.ndarray:
         e[j] = cur
         cur = cur * 5 % two_n
     return e
+
+
+@functools.lru_cache(maxsize=None)
+def _rot_group_exponents_ci(n: int) -> np.ndarray:
+    """e_k = 5^k mod 4N for k in [0, N) (CI ring: 4N-th roots)."""
+    four_n = 4 * n
+    e = np.zeros(n, dtype=np.int64)
+    cur = 1
+    for k in range(n):
+        e[k] = cur
+        cur = cur * 5 % four_n
+    return e
+
+
+class CIEncoder:
+    """Real-slot encoder for the conjugate-invariant ring: N real slots at
+    ring degree N (ref schemes/ckks/params.go CI slot geometry; the
+    embedding evaluates at the 5-orbit of the 4N-th roots, where CI
+    elements take real values since p(ζ) = p(ζ^{-1})).
+
+    Coefficient convention matches :mod:`lattigo_tpu.ring.ntt_ci`:
+    (c_0…c_{N−1}) ↦ c_0 + Σ c_j (X^j + X^{−j}).
+    """
+
+    def __init__(self, params: Parameters):
+        assert params.ring_type == CONJUGATE_INVARIANT
+        self.params = params
+        self.exponents = _rot_group_exponents_ci(params.n)
+
+    def embed_to_coeffs(self, values: np.ndarray) -> np.ndarray:
+        """real v[..., ≤N] → CI coeffs f64[..., N] (unscaled).
+
+        p̃_j = (1/N)·Re Σ_k v_k ζ^{e_k j} (inverse DFT over the odd
+        characters, using σ-invariance to fold the −5-orbit)."""
+        p = self.params
+        n = p.n
+        v = np.real(np.asarray(values, dtype=np.complex128))
+        if v.shape[-1] < n:
+            pad = np.zeros(v.shape[:-1] + (n - v.shape[-1],))
+            v = np.concatenate([v, pad], axis=-1)
+        a = np.zeros(v.shape[:-1] + (4 * n,), dtype=np.complex128)
+        a[..., self.exponents] = v
+        return (1.0 / n) * np.fft.fft(a, axis=-1)[..., :n].real
+
+    def coeffs_to_slots(self, coeffs: np.ndarray) -> np.ndarray:
+        p = self.params
+        n = p.n
+        c = np.asarray(coeffs, dtype=np.float64)
+        # unfold: p̃_j = c_j, p̃_{2N−j} = −c_j (negacyclic X^{-j} lift)
+        full = np.zeros(c.shape[:-1] + (4 * n,), dtype=np.float64)
+        full[..., :n] = c
+        for j in range(1, n):
+            full[..., 2 * n - j] = -c[..., j]
+        spec = np.fft.ifft(full, axis=-1) * (4 * n)
+        return spec[..., self.exponents].real
+
+    def encode(self, values, level: int | None = None,
+               scale: Fraction | None = None) -> Plaintext:
+        p = self.params
+        level = p.max_level if level is None else level
+        scale = p.default_scale_fraction if scale is None else Fraction(scale)
+        coeffs = self.embed_to_coeffs(values) * float(scale)
+        ints = np.round(coeffs).astype(np.int64).astype(object)
+        out = np.zeros(ints.shape[:-1] + (level + 1, p.n), dtype=np.uint64)
+        for i, q in enumerate(p.q_moduli[: level + 1]):
+            out[..., i, :] = np.mod(ints, q).astype(np.uint64)
+        return Plaintext(value=p.ring_q.ntt(jnp.asarray(out), level),
+                         is_ntt=True, scale=scale)
+
+    def decode(self, pt: Plaintext) -> np.ndarray:
+        p = self.params
+        v = pt.value
+        if pt.is_ntt:
+            v = p.ring_q.intt(v, pt.level)
+        ints = p.ring_q.to_int_coeffs(np.asarray(v), pt.level, centered=True)
+        coeffs = np.array([float(x) for x in ints]) / float(pt.scale)
+        return self.coeffs_to_slots(coeffs)
 
 
 class Encoder:
