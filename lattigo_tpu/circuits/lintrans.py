@@ -201,7 +201,7 @@ class LinTransEvaluator:
             d0q = p.ring_q.add(
                 acc.q[..., 0, :, :],
                 p.ring_q.mul_scalar(ct.value[..., 0, :, :], P, level), level)
-            idx = auto_mod.ntt_index(p.n, gal)
+            idx = auto_mod.ntt_index(p.n, gal, p.ring_type)
             pre[i] = (
                 QPPoly(auto_mod.apply_ntt(d0q, idx),
                        auto_mod.apply_ntt(acc.p[..., 0, :, :], idx)),
@@ -272,7 +272,7 @@ class LinTransEvaluator:
                 d0 = QPPoly(rq.add(d.q[..., 0, :, :], tmp0.q, level),
                             rp.add(d.p[..., 0, :, :], tmp0.p))
                 d1 = QPPoly(d.q[..., 1, :, :], d.p[..., 1, :, :])
-                idx = auto_mod.ntt_index(p.n, gal)
+                idx = auto_mod.ntt_index(p.n, gal, p.ring_type)
                 g0 = QPPoly(auto_mod.apply_ntt(d0.q, idx), auto_mod.apply_ntt(d0.p, idx))
                 g1 = QPPoly(auto_mod.apply_ntt(d1.q, idx), auto_mod.apply_ntt(d1.p, idx))
             else:

@@ -48,8 +48,28 @@ def _coeff_index_np(n: int, gal_el: int) -> tuple[np.ndarray, np.ndarray]:
     return idx, neg
 
 
-def ntt_index(n: int, gal_el: int) -> jnp.ndarray:
+@functools.lru_cache(maxsize=None)
+def _ntt_index_ci_np(n: int, gal_el: int) -> np.ndarray:
+    """CI-ring NTT automorphism index: position j holds the value at
+    exponent E(j) = 2·brv_{log2N}(j)+1 of the 4N-th root (the kept half of
+    the size-2N transform, always ≡ 1 mod 4); σ_g reads the value at
+    E(j)·g, identifying conjugate exponents e ↔ 4N−e (CI values agree)."""
+    assert gal_el % 2 == 1
+    log2n = n.bit_length()  # log2(2N)
+    four_n = 4 * n
+    idx = np.zeros(n, dtype=np.int32)
+    for j in range(n):
+        e = (2 * bit_reverse(j, log2n) + 1) * gal_el % four_n
+        if e % 4 != 1:
+            e = four_n - e
+        idx[j] = bit_reverse((e - 1) // 2, log2n)
+    return idx
+
+
+def ntt_index(n: int, gal_el: int, ring_type: str = "standard") -> jnp.ndarray:
     """Gather index table for NTT-domain automorphism (ref :12)."""
+    if ring_type == "conjugate_invariant":
+        return jnp.asarray(_ntt_index_ci_np(n, gal_el))
     return jnp.asarray(_ntt_index_np(n, gal_el))
 
 
@@ -69,5 +89,5 @@ def apply_coeff(x, n: int, gal_el: int, q):
     return jnp.where(neg, jnp.where(g == 0, g, q - g), g)
 
 
-def automorphism_ntt(x, n: int, gal_el: int):
-    return apply_ntt(x, ntt_index(n, gal_el))
+def automorphism_ntt(x, n: int, gal_el: int, ring_type: str = "standard"):
+    return apply_ntt(x, ntt_index(n, gal_el, ring_type))

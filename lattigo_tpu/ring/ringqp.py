@@ -131,7 +131,7 @@ class RingQP:
     # -- automorphism (NTT domain: pure gather on both parts) -----------------
 
     def automorphism_ntt(self, a: QPPoly, gal_el: int) -> QPPoly:
-        idx = auto_mod.ntt_index(self.ring_q.n, gal_el)
+        idx = auto_mod.ntt_index(self.ring_q.n, gal_el, self.ring_q.ring_type)
         p = None if a.p is None else auto_mod.apply_ntt(a.p, idx)
         return QPPoly(auto_mod.apply_ntt(a.q, idx), p)
 

@@ -149,7 +149,7 @@ class Evaluator:
         gk = self.evk.galois_key(gal_el)
         ks = self.apply_evaluation_key(ct, gk)
         return ct.replace(value=auto_mod.automorphism_ntt(
-            ks.value, self.params.n, gal_el))
+            ks.value, self.params.n, gal_el, self.params.ring_type))
 
     def automorphism_hoisted(self, ct: Ciphertext, digits: QPPoly,
                              gal_el: int) -> Ciphertext:
@@ -161,7 +161,7 @@ class Evaluator:
         d = self.gadget_product_hoisted(digits, gk.gadget, level)
         d0 = self.params.ring_q.add(d[..., 0, :, :], ct.value[..., 0, :, :], level)
         v = jnp.stack([d0, d[..., 1, :, :]], axis=-3)
-        return ct.replace(value=auto_mod.automorphism_ntt(v, self.params.n, gal_el))
+        return ct.replace(value=auto_mod.automorphism_ntt(v, self.params.n, gal_el, self.params.ring_type))
 
     def rotate_columns(self, ct: Ciphertext, k: int) -> Ciphertext:
         return self.automorphism(ct, self.params.galois_element(k))

@@ -56,3 +56,22 @@ def test_ci_encrypt_mul_decrypt(ctx):
     out2 = ev.add(ct1, ct2)
     got2 = enc.decode(ctx["decryptor"].decrypt(out2))
     assert np.abs(got2 - (v1 + v2)).max() < 1e-8
+
+
+def test_ci_rotate(ctx):
+    """Slot rotation in the CI ring: N real slots rotate cyclically."""
+    params, enc, sk = ctx["params"], ctx["enc"], ctx["sk"]
+    kgen = rlwe.KeyGenerator(params)
+    k = 3
+    gal = params.galois_element(k)
+    gks = kgen.gen_galois_keys(jax.random.PRNGKey(7), [gal], sk)
+    ev = ckks.Evaluator(params, rlwe.EvaluationKeySet(galois_keys=gks))
+
+    rng = np.random.default_rng(5)
+    v = rng.uniform(-1, 1, params.n)
+    ct = ctx["encryptor"].encrypt(jax.random.PRNGKey(8), enc.encode(v))
+    out = ev.automorphism(ct, gal)
+    got = enc.decode(ctx["decryptor"].decrypt(out))
+    want = np.roll(v, -k)
+    assert np.abs(got - want).max() < 1e-8, (
+        f"CI rotate err {np.abs(got - want).max():.2e}")
