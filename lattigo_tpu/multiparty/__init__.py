@@ -14,10 +14,16 @@ from lattigo_tpu.multiparty.protocols import (
 from lattigo_tpu.multiparty.threshold import (
     Thresholdizer, Combiner, ShamirPolynomial,
 )
+from lattigo_tpu.multiparty.sharing_bgv import (
+    BGVEncToShareProtocol, BGVShareToEncProtocol,
+    BGVMaskedTransformProtocol, BGVRefreshProtocol, MaskedTransformFunc,
+)
 
 __all__ = [
     "PublicKeyGenProtocol", "KeySwitchProtocol", "PublicKeySwitchProtocol",
     "GaloisKeyGenProtocol", "RelinearizationKeyGenProtocol",
     "NoiseFlooding", "sample_crp_qp",
     "Thresholdizer", "Combiner", "ShamirPolynomial",
+    "BGVEncToShareProtocol", "BGVShareToEncProtocol",
+    "BGVMaskedTransformProtocol", "BGVRefreshProtocol", "MaskedTransformFunc",
 ]
