@@ -87,8 +87,13 @@ class BootstrappingEvaluator:
     def _mod1_depth(m1: Mod1Parameters) -> int:
         # map-to-interval (1) + Paterson-Stockmeyer (giant chain + final
         # product, bit_length+1) + double-angle squarings (r)
-        poly_depth = max(2, m1.degree.bit_length() + 1)
-        return 1 + poly_depth + m1.double_angle
+        from lattigo_tpu.circuits.mod1 import COS_DISCRETE, SIN_CONTINUOUS
+        degree = m1.degree
+        if m1.mod1_type == COS_DISCRETE:
+            degree = max(degree, 2 * m1.k - 1)  # ref parameters_literal Depth()
+        r = 0 if m1.mod1_type == SIN_CONTINUOUS else m1.double_angle
+        poly_depth = max(2, degree.bit_length() + 1)
+        return 1 + poly_depth + r
 
     def with_evaluator(self, ckks_eval) -> "BootstrappingEvaluator":
         self.ev = ckks_eval
@@ -183,20 +188,23 @@ class BootstrappingEvaluator:
         ~log_prec bits per extra iteration (ia.cr/2022/024; ref
         bootstrapping/evaluator.go:315-460 IterationsParameters).
 
-        Round i re-bootstraps diff = ct − out at a scale shrunk by
-        2^log_prec (amplifying the error into the message range), then
-        folds the correction back — all in exact Fraction scale labels.
+        Round i re-bootstraps diff = (ct − out)·2^log_prec — the VALUE is
+        multiplied up (exact, level-free) so the residual error becomes a
+        full-size message at the same scale and the bootstrap's fixed
+        absolute precision applies to it undiminished; the correction's
+        scale is then relabeled ×2^log_prec so it folds back at error
+        units. (Shrinking the scale label instead is a no-op: it raises
+        the message ratio by exactly the factor the iteration would gain.)
         """
         ev = self.ev
         out = self.bootstrap(ct, keys)
         for _ in range(iterations - 1):
             down = out.at_level(0)
             diff = ev.sub(ct, down)                      # −err at ct.scale
-            # shrink the scale label: slots now read err·2^log_prec
-            diff = diff.replace(
-                scale=Fraction(diff.scale) / (1 << log_prec))
+            # amplify the error into the message range: value ×2^log_prec
+            diff = ev.mul_scalar_int(diff, 1 << log_prec)
             corr = self.bootstrap(diff, keys)
-            # restore units: relabel ×2^log_prec, then fold into out
+            # relabel so corr reads in error units, then fold into out
             corr = corr.replace(
                 scale=Fraction(corr.scale) * (1 << log_prec))
             out = ev.add(out.at_level(min(out.level, corr.level)),
@@ -208,3 +216,34 @@ class BootstrappingEvaluator:
         """Batch bootstrap — on TPU the batch axis makes this native; a
         list API is kept for parity (ref BootstrapMany:229)."""
         return [self.bootstrap(c, keys) for c in cts]
+
+    def jitted(self, example: Ciphertext,
+               keys: BootstrappingKeys | None = None):
+        """One XLA program for the FULL pipeline: returns f(ct) → ct with
+        everything from ScaleDown to SlotsToCoeffs fused under a single
+        ``jax.jit`` (metadata — scales, levels — is static, captured from
+        ``example``). Batch axes on ``example`` carry through, making
+        ``BootstrapMany`` a leading batch dimension instead of a loop.
+        """
+        import jax
+
+        meta = dict(is_ntt=example.is_ntt, scale=example.scale)
+        out_meta: dict = {}
+
+        def raw(v):
+            out = self.bootstrap(Ciphertext(value=v, **meta), keys)
+            out_meta["is_ntt"] = out.is_ntt
+            out_meta["scale"] = out.scale
+            return out.value
+
+        # populate the (static) output metadata without compiling
+        shape = jax.eval_shape(raw, jax.ShapeDtypeStruct(example.value.shape,
+                                                         example.value.dtype))
+        jfn = jax.jit(raw)
+
+        def wrapped(ct: Ciphertext) -> Ciphertext:
+            return Ciphertext(value=jfn(ct.value), **out_meta)
+
+        wrapped.out_shape = shape
+        wrapped.out_meta = dict(out_meta)
+        return wrapped

@@ -4,12 +4,25 @@ TPU-native analog of ``circuits/ckks/mod1``. Strategy (ref
 mod1_parameters.go:17, mod1_evaluator.go:31):
 
     y ∈ [−K, K], |y mod 1| ≤ 2^{−log_message_ratio}
-    1. t = y/K                        (map to Chebyshev interval [−1, 1])
-    2. c = P(t) ≈ cos(2π·(K·t − 1/4)/2^r)   (Chebyshev, degree `degree`)
-    3. r × double angle: c ← 2c² − 1  → c = cos(2π(y − 1/4)) = sin(2πy)
+    1. map to the polynomial's Chebyshev variable (one constant mul)
+    2. c = P(v) ≈ cos(2π(y − 1/4)/2^r)   (scaled by (2π)^{-1/2^r})
+    3. r × double angle: c ← 2c² − s²  → c = cos(2π(y − 1/4)) = sin(2πy)
     4. out = c/(2π) ≈ y mod 1   (+ optional arcsine correction polynomial)
 
-The 1/(2π) factor is embedded into the Chebyshev coefficients via the
+Three approximation types (ref mod1_parameters.go:23-26 Type):
+
+* ``COS_DISCRETE`` — Han–Ki interpolation (ia.cr/2019/688) with nodes only
+  near the integers; lowest degree for large K. Its Chebyshev variable is
+  v = y·2^r/K, which EXCEEDS [−1, 1] (up to ±2^r): T_n(v) intermediates
+  are astronomically large and cancel against the rapidly-decaying
+  coefficients, so coefficients are carried as exact Fractions from the
+  256-bit generator (:mod:`lattigo_tpu.utils.cosine`) all the way into the
+  constant encoder.
+* ``COS_CONTINUOUS`` — full-interval Chebyshev of the same cosine.
+* ``SIN_CONTINUOUS`` — full-interval Chebyshev of sin(2πx)/2π, no double
+  angle.
+
+The 1/(2π) factor is embedded into the polynomial coefficients via the
 double-angle-compatible scaling (ref mod1_evaluator.go:61): with
 s_0 = (2π)^{-1/2^r}, c_0 = s_0·cos(θ/2^r) and the modified recurrence
 c ← 2c² − s_i², s_i ← s_i², the invariant c_i = s_i·cos(θ/2^{r-i}) holds
@@ -30,6 +43,10 @@ from lattigo_tpu.circuits.polynomial import (
 )
 from lattigo_tpu.rlwe.elements import Ciphertext
 
+COS_DISCRETE = "cos_discrete"
+SIN_CONTINUOUS = "sin_continuous"
+COS_CONTINUOUS = "cos_continuous"
+
 
 def _sqrt_fraction(f: Fraction) -> Fraction:
     """√f as a Fraction with ~60 fractional bits (big-float sqrt analog)."""
@@ -37,15 +54,30 @@ def _sqrt_fraction(f: Fraction) -> Fraction:
     return Fraction(math.isqrt(n), 1 << 60)
 
 
+def _mpf_to_fraction(x) -> Fraction:
+    """Exact conversion mpmath.mpf → Fraction (binary float = dyadic)."""
+    sign, man, exp, _ = x._mpf_
+    if man == 0:
+        return Fraction(0)
+    v = Fraction(-man if sign else man)
+    return v * Fraction(2) ** exp
+
+
 @dataclass(frozen=True)
 class Mod1Parameters:
     """ref mod1_parameters.go:32 Mod1ParametersLiteral."""
 
     k: int = 16                  # interval half-width (#(q-multiples) covered)
-    degree: int = 30             # Chebyshev degree of the cosine approx
-    double_angle: int = 3        # r
+    degree: int = 30             # polynomial degree of the approximation
+    double_angle: int = 3        # r (ignored for SIN_CONTINUOUS)
     log_message_ratio: int = 8   # log2(q/|m|) bound
     arcsine_degree: int = 0      # optional arcsine correction
+    mod1_type: str = COS_CONTINUOUS
+
+    @property
+    def sc_fac(self) -> int:
+        return 1 << (0 if self.mod1_type == SIN_CONTINUOUS
+                     else self.double_angle)
 
 
 class Mod1Evaluator:
@@ -57,15 +89,37 @@ class Mod1Evaluator:
         self.poly_eval = PolynomialEvaluator(ckks_eval)
         self._poly = self._gen_poly()
 
+    @property
+    def _r(self) -> int:
+        return 0 if self.p1.mod1_type == SIN_CONTINUOUS else self.p1.double_angle
+
+    @property
+    def _sqrt2pi(self) -> float:
+        return (2 * math.pi) ** (-1.0 / self.p1.sc_fac)
+
     def _gen_poly(self) -> Polynomial:
-        k, r = self.p1.k, self.p1.double_angle
-        s = (2 * math.pi) ** (-1.0 / (1 << r))  # scale embedded per√ level
+        p1 = self.p1
+        k, scfac = p1.k, p1.sc_fac
+        s = self._sqrt2pi
 
-        def f(t):
-            return s * math.cos(2 * math.pi * (k * t - 0.25) / (1 << r))
+        if p1.mod1_type == COS_DISCRETE:
+            from mpmath import mp, mpf, pi as mp_pi
+            from lattigo_tpu.utils.cosine import approximate_cos
+            with mp.workprec(256):
+                c = approximate_cos(k, p1.degree,
+                                    float(1 << p1.log_message_ratio),
+                                    p1.double_angle)
+                s_mp = (1 / (2 * mp_pi)) ** (mpf(1) / scfac)
+                coeffs = [_mpf_to_fraction(ci * s_mp) for ci in c]
+            return Polynomial(coeffs, basis=CHEBYSHEV)
 
-        poly = chebyshev_approximate(f, self.p1.degree, interval=(-1.0, 1.0))
-        return poly
+        if p1.mod1_type == SIN_CONTINUOUS:
+            def f(t):
+                return math.sin(2 * math.pi * k * t) / (2 * math.pi)
+        else:  # COS_CONTINUOUS
+            def f(t):
+                return s * math.cos(2 * math.pi * (k * t - 0.25) / scfac)
+        return chebyshev_approximate(f, p1.degree, interval=(-1.0, 1.0))
 
     def evaluate(self, ct: Ciphertext) -> Ciphertext:
         """ct slots hold y ∈ [−K, K]; returns slots ≈ (y mod 1) centered.
@@ -81,11 +135,15 @@ class Mod1Evaluator:
         """
         ev = self.ev
         p = ev.params
-        k, r = self.p1.k, self.p1.double_angle
-        s = (2 * math.pi) ** (-1.0 / (1 << r))
+        p1 = self.p1
+        k, r = p1.k, self._r
+        s = self._sqrt2pi
 
-        # map to [−1, 1]: t = y/K (one constant mul + rescale)
-        t = ev.rescale(ev.mul_const(ct, 1.0 / k))
+        # map y to the polynomial variable (one constant mul + rescale):
+        # v = y·2^r/K for CosDiscrete, t = y/K for the continuous types
+        in_const = (Fraction(p1.sc_fac, k) if p1.mod1_type == COS_DISCRETE
+                    else Fraction(1, k))
+        t = ev.rescale(ev.mul_const(ct, in_const))
 
         # plan: poly output level with a throwaway target, then stage the
         # real target backward through the r double-angle rescales
@@ -106,15 +164,15 @@ class Mod1Evaluator:
             sq = ev.rescale(sq)
             c = ev.sub(sq, si * si)
             si = si * si
-        if self.p1.arcsine_degree > 0:
+        if p1.arcsine_degree > 0:
             # arcsine(u)/(2π) correction: asin series on u = sin(2πy)/(2π)
-            coeffs = [0.0] * (self.p1.arcsine_degree + 1)
+            coeffs = [0.0] * (p1.arcsine_degree + 1)
             # asin(2π u)/(2π) = u + (2π)²u³/6 + 3(2π)⁴u⁵/40 + ...
             fac = 2 * math.pi
             series = {1: 1.0, 3: fac**2 / 6.0, 5: 3.0 * fac**4 / 40.0,
                       7: 15.0 * fac**6 / 336.0}
             for d, v in series.items():
-                if d <= self.p1.arcsine_degree:
+                if d <= p1.arcsine_degree:
                     coeffs[d] = v
             c = self.poly_eval.evaluate(c, Polynomial(coeffs, basis="monomial"))
         return c

@@ -253,9 +253,11 @@ class PolynomialEvaluator:
         for i in nz:
             xi = pb.powers[i].at_level(lb)
             cs = target_scale * q_lb / Fraction(xi.scale)
-            term = ev.mul_const(xi, complex(poly.coeffs[i]), const_scale=cs)
+            # pass coefficients through unconverted: Fraction coeffs
+            # (CosDiscrete) quantise exactly inside mul_const
+            term = ev.mul_const(xi, poly.coeffs[i], const_scale=cs)
             acc = term if acc is None else ev.add(acc, term)
         acc = ev.rescale(acc)
         if poly.coeffs[0]:
-            acc = ev.add(acc, complex(poly.coeffs[0]))
+            acc = ev.add(acc, poly.coeffs[0])
         return acc

@@ -9,6 +9,7 @@ Transport is the application's job — shares are plain pytrees.
 from lattigo_tpu.multiparty.protocols import (
     PublicKeyGenProtocol, KeySwitchProtocol, PublicKeySwitchProtocol,
     GaloisKeyGenProtocol, RelinearizationKeyGenProtocol,
+    EvaluationKeyGenProtocol,
     NoiseFlooding, sample_crp_qp,
 )
 from lattigo_tpu.multiparty.threshold import (
@@ -21,6 +22,7 @@ from lattigo_tpu.multiparty.sharing_bgv import (
 
 __all__ = [
     "PublicKeyGenProtocol", "KeySwitchProtocol", "PublicKeySwitchProtocol",
+    "EvaluationKeyGenProtocol",
     "GaloisKeyGenProtocol", "RelinearizationKeyGenProtocol",
     "NoiseFlooding", "sample_crp_qp",
     "Thresholdizer", "Combiner", "ShamirPolynomial",

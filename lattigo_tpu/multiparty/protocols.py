@@ -217,6 +217,54 @@ class GaloisKeyGenProtocol:
         return GaloisKey(GadgetCiphertext(qp_stack(rows)), gal_el)
 
 
+class EvaluationKeyGenProtocol:
+    """1-round collective generic EVK sk_in → sk_out (ref keygen_evk.go:17).
+
+    Each party holds additive shares of BOTH secrets; share for digit d is
+    −crp_d·skOut_i + e_i + skIn_i·g_d (gadget-wise, exactly the Galois-key
+    protocol with an arbitrary output secret).
+    """
+
+    def __init__(self, params: Parameters):
+        self.params = params
+        self.kgen = KeyGenerator(params)
+
+    def num_digits(self) -> int:
+        return -(-(self.params.max_level + 1) // len(self.params.p_moduli))
+
+    def sample_crp(self, seed: bytes) -> list[QPPoly]:
+        return sample_crp_qp(self.params, seed, self.num_digits())
+
+    def gen_share(self, key, sk_in: SecretKey, sk_out: SecretKey,
+                  crps: list[QPPoly]):
+        p = self.params
+        rqp, rq = p.ring_qp, p.ring_q
+        gfac = self.kgen._gadget_scalars(p.max_level)
+        alpha = len(p.p_moduli)
+        lq = p.max_level + 1
+        shares = []
+        for d, crp in enumerate(crps):
+            key, ke = jax.random.split(key)
+            e = rqp.ntt(rqp.sample_signed(ke, p.xe))
+            c0 = rqp.mform(rqp.sub(e, rqp.mul_mont(crp, sk_out.value)))
+            lo, hi = d * alpha, min((d + 1) * alpha, lq)
+            term = modops.mred(sk_in.value.q[..., lo:hi, :], gfac[lo:hi],
+                               rq.q[lo:hi], rq.qinv[lo:hi])
+            c0q = c0.q.at[..., lo:hi, :].set(
+                modops.add_mod(c0.q[..., lo:hi, :], term, rq.q[lo:hi]))
+            shares.append(QPPoly(c0q, c0.p))
+        return shares
+
+    def aggregate_shares(self, s1, s2):
+        rqp = self.params.ring_qp
+        return [rqp.add(a, b) for a, b in zip(s1, s2)]
+
+    def finalize(self, agg, crps: list[QPPoly]) -> EvaluationKey:
+        rqp = self.params.ring_qp
+        rows = [qp_stack([c0, rqp.mform(crp)]) for c0, crp in zip(agg, crps)]
+        return EvaluationKey(GadgetCiphertext(qp_stack(rows)))
+
+
 class RelinearizationKeyGenProtocol:
     """2-round collective RLK with ephemeral secret (ref keygen_relin.go:15).
 

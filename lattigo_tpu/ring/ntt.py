@@ -33,15 +33,14 @@ def bit_reverse(x: int, bits: int) -> int:
     return r
 
 
-def _fwd_stage(x, roots, q2, q, qinv, m: int, n: int):
-    """One forward CT stage over trailing axis of length n, m groups."""
+def _fwd_stage_ws(x, w, q2, q, qinv, m: int):
+    """One forward CT stage, m groups, explicit roots slice w [..., m, 1]."""
+    n = x.shape[-1]
     t = n // (2 * m)
     shape = x.shape
     xv = x.reshape(shape[:-1] + (m, 2, t))
     x0 = xv[..., 0, :]
     x1 = xv[..., 1, :]
-    # roots slice for this stage: psi^{brev} entries [m, 2m), shape [L, m, 1]
-    w = roots[..., m : 2 * m, None]
     q2e = q2[..., None]                             # [L, 1, 1] vs data [L, m, t]
     x0 = jnp.where(x0 >= q2e, x0 - q2e, x0)         # [0, 2q)
     v = mred_lazy(x1, w, q[..., None], qinv[..., None])  # [0, 2q)
@@ -50,19 +49,31 @@ def _fwd_stage(x, roots, q2, q, qinv, m: int, n: int):
     return jnp.stack([y0, y1], axis=-2).reshape(shape)
 
 
-def _inv_stage(x, iroots, q2, q, qinv, m: int, n: int):
-    """One inverse GS stage, m groups (mirrors forward stage m)."""
+def _fwd_stage(x, roots, q2, q, qinv, m: int, n: int):
+    """One forward CT stage over trailing axis of length n, m groups.
+
+    Roots slice for stage m: psi^{brev} entries [m, 2m)."""
+    return _fwd_stage_ws(x, roots[..., m : 2 * m, None], q2, q, qinv, m)
+
+
+def _inv_stage_ws(x, w, q2, q, qinv, m: int):
+    """One inverse GS stage, m groups, explicit roots slice w [..., m, 1]."""
+    n = x.shape[-1]
     t = n // (2 * m)
     shape = x.shape
     xv = x.reshape(shape[:-1] + (m, 2, t))
     x0 = xv[..., 0, :]
     x1 = xv[..., 1, :]
-    w = iroots[..., m : 2 * m, None]
     q2e = q2[..., None]
     y0 = x0 + x1                                    # [0, 4q)
     y0 = jnp.where(y0 >= q2e, y0 - q2e, y0)         # [0, 2q)
     y1 = mred_lazy(x0 - x1 + q2e, w, q[..., None], qinv[..., None])  # [0, 2q)
     return jnp.stack([y0, y1], axis=-2).reshape(shape)
+
+
+def _inv_stage(x, iroots, q2, q, qinv, m: int, n: int):
+    """One inverse GS stage, m groups (mirrors forward stage m)."""
+    return _inv_stage_ws(x, iroots[..., m : 2 * m, None], q2, q, qinv, m)
 
 
 def ntt(x, roots, q, qinv, logn: int, lazy: bool = False):

@@ -101,11 +101,58 @@ class Evaluator:
         return self.params.basis_extender.mod_down_qp_to_q(
             acc.q, acc.p, level_q, ntt_domain=True)
 
+    def gadget_product_base2(self, c2_ntt, gadget: GadgetCiphertext,
+                             level_q: int):
+        """Power-of-two gadget product (ref :203
+        gadgetProductSinglePAndBitDecompLazy): digits are plain bit-slices
+        of each limb's coefficients, broadcast-NTT'd over all limbs, then
+        MAC'd against the (limb, digit)-indexed gadget rows. ModDown by P
+        only when the gadget has a P part."""
+        p = self.params
+        rq = p.ring_q
+        lq = level_q + 1
+        w = gadget.base2
+        mask = jnp.uint64((1 << w) - 1)
+        rows = gadget.value.q.shape[-4]
+        max_dig = rows // lq
+
+        cx = rq.intt(c2_ntt, level_q)  # [..., lq, N] coefficients
+        shifts = jnp.arange(max_dig, dtype=jnp.uint64) * jnp.uint64(w)
+        # [..., lq, max_dig, N] plain digits < 2^w
+        digits = (cx[..., :, None, :] >> shifts[None, :, None]) & mask
+        dflat = digits.reshape(digits.shape[:-3] + (rows, 1, digits.shape[-1]))
+
+        evq = gadget.value.q  # [rows, 2, LQ, N]
+        # lift each digit to every Q limb (values < 2^w < q_i: the residue
+        # is the value itself) and NTT per limb
+        dq = jnp.broadcast_to(
+            dflat, dflat.shape[:-2] + (lq, dflat.shape[-1]))
+        dq = rq.ntt(dq, level_q)                    # [..., rows, lq, N]
+        tq = modops.mred_lazy(dq[..., :, None, :, :], evq[:, :, :lq, :],
+                              rq.q[:lq], rq.qinv[:lq])
+        acc_q = modops.bred_add(tq.sum(axis=-4), rq.q[:lq], rq.bred_hi[:lq])
+
+        if gadget.value.p is not None:
+            rp = p.ring_p
+            lp = rp.q.shape[0]
+            evp = gadget.value.p
+            dp = jnp.broadcast_to(
+                dflat, dflat.shape[:-2] + (lp, dflat.shape[-1]))
+            dp = rp.ntt(dp)
+            tp = modops.mred_lazy(dp[..., :, None, :, :], evp,
+                                  rp.q, rp.qinv)
+            acc_p = modops.bred_add(tp.sum(axis=-4), rp.q, rp.bred_hi)
+            return p.basis_extender.mod_down_qp_to_q(
+                acc_q, acc_p, level_q, ntt_domain=True)
+        return acc_q
+
     def gadget_product(self, c2_ntt, gadget: GadgetCiphertext, level_q: int):
         """(d0, d1) ← c2 ⊛ gadget (ref GadgetProduct, :16).
 
         c2_ntt: u64[..., lq+1, N] NTT plain → u64[..., 2, lq+1, N] NTT plain.
         """
+        if gadget.base2:
+            return self.gadget_product_base2(c2_ntt, gadget, level_q)
         digits = self.decompose_ntt(c2_ntt, level_q)
         return self.gadget_product_hoisted(digits, gadget, level_q)
 

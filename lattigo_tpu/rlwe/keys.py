@@ -50,9 +50,15 @@ class GadgetCiphertext:
 
     Row (d, 0) = -a_d·s + e_d + m·g_d, row (d, 1) = a_d, both NTT+Montgomery
     (ref gadgetciphertext.go:19).
+
+    ``base2`` > 0 selects the power-of-two gadget (ref gadgetciphertext.go:20
+    BaseTwoDecomposition, active only when |P| ≤ 1 as in the reference):
+    rows are ordered (limb i, digit j) → i·max_digits + j with gadget factor
+    P·2^{base2·j}·CRT_i.
     """
 
     value: QPPoly
+    base2: int = struct.field(pytree_node=False, default=0)
 
     @property
     def beta(self) -> int:
@@ -164,9 +170,52 @@ class KeyGenerator:
         vals = [_mform_int(P % q, q) for q in p.q_moduli[: level_q + 1]]
         return jnp.asarray(np.array(vals, dtype=np.uint64).reshape(level_q + 1, 1))
 
+    def _gadget_scalars_base2(self, level_q: int, w: int) -> jnp.ndarray:
+        """MForm(P·2^{w·j} mod q_i) for row (i, j), u64[rows, lq+1, 1]; zero
+        on limbs ≠ i and on digits past ceil(log2 q_i / w) (those digits of
+        any value < q_i are zero anyway)."""
+        p = self.params
+        P = p.p_big_int() if p.ring_p is not None else 1
+        lq = level_q + 1
+        moduli = p.q_moduli[:lq]
+        max_dig = max((q - 1).bit_length() for q in moduli)
+        max_dig = -(-max_dig // w)
+        g = np.zeros((lq * max_dig, lq, 1), dtype=np.uint64)
+        for i, q in enumerate(moduli):
+            for j in range(-(-(q - 1).bit_length() // w)):
+                g[i * max_dig + j, i, 0] = _mform_int(
+                    (P << (w * j)) % q, q)
+        return jnp.asarray(g)
+
+    def gadget_encrypt_base2(self, key, m_q, sk_out: SecretKey, base2: int,
+                             level_q: int | None = None) -> GadgetCiphertext:
+        """Power-of-two gadget encryption (ref gadgetciphertext.go:180 with
+        BaseTwoDecomposition > 0; requires |P| ≤ 1 like the reference's
+        BaseTwoDecompositionVectorSize)."""
+        p = self.params
+        assert len(p.p_moduli) <= 1, "base-2 gadget requires |P| <= 1"
+        level_q = p.max_level if level_q is None else level_q
+        rqp = p.ring_qp
+        rq = p.ring_q
+        gfac = self._gadget_scalars_base2(level_q, base2)  # [rows, lq, 1]
+        rows = []
+        for r in range(gfac.shape[0]):
+            key, ka, ke = jax.random.split(key, 3)
+            a = rqp.uniform(ka, level_q)
+            c1 = rqp.mform(a, level_q)
+            a_s = rqp.mul_mont(a, rqp.at_level(sk_out.value, level_q), level_q)
+            e = rqp.ntt(rqp.sample_signed(ke, p.xe, level_q), level_q)
+            c0 = rqp.mform(rqp.sub(e, a_s, level_q), level_q)
+            term = modops.mred(m_q, gfac[r], rq.q[: level_q + 1],
+                               rq.qinv[: level_q + 1])
+            c0 = QPPoly(modops.add_mod(c0.q, term, rq.q[: level_q + 1]), c0.p)
+            rows.append(qp_stack([c0, c1]))
+        return GadgetCiphertext(qp_stack(rows), base2=base2)
+
     def gadget_encrypt(self, key, m_q, sk_out: SecretKey,
                        level_q: int | None = None,
-                       row: int = 0, seed: bytes | None = None) -> GadgetCiphertext:
+                       row: int = 0, seed: bytes | None = None,
+                       base2: int = 0) -> GadgetCiphertext:
         """Gadget-encrypt m (Q part, NTT+Montgomery, u64[lq+1, N]) under sk_out.
 
         ``row`` selects which component carries m·g: 0 (standard, EVKs) or
@@ -174,12 +223,17 @@ class KeyGenerator:
         When ``seed`` is given, the uniform c1 rows are derived from the
         deterministic KeyedPRNG so the result can be shipped compressed
         (see :class:`CompressedGadgetCiphertext`; requires ``row == 0``).
+        ``base2`` > 0 switches to the power-of-two gadget.
         """
         assert seed is None or row == 0, "seeded c1 incompatible with RGSW row 1"
+        if base2 > 0:
+            assert row == 0 and seed is None
+            return self.gadget_encrypt_base2(key, m_q, sk_out, base2, level_q)
         p = self.params
         if p.ring_p is None:
             raise NotImplementedError(
-                "gadget encryption currently requires an auxiliary P basis")
+                "RNS gadget encryption requires an auxiliary P basis "
+                "(use base2 > 0 for P-less key switching)")
         level_q = p.max_level if level_q is None else level_q
         alpha = len(p.p_moduli)
         beta = -(-(level_q + 1) // alpha)
@@ -220,15 +274,18 @@ class KeyGenerator:
 
     # -- evaluation keys ------------------------------------------------------------
 
-    def gen_evaluation_key(self, key, sk_in: SecretKey, sk_out: SecretKey) -> EvaluationKey:
+    def gen_evaluation_key(self, key, sk_in: SecretKey, sk_out: SecretKey,
+                           base2: int = 0) -> EvaluationKey:
         """EVK re-encrypting from sk_in to sk_out (ref keygenerator.go:245)."""
-        return EvaluationKey(self.gadget_encrypt(key, sk_in.value.q, sk_out))
+        return EvaluationKey(self.gadget_encrypt(key, sk_in.value.q, sk_out,
+                                                 base2=base2))
 
-    def gen_relinearization_key(self, key, sk: SecretKey) -> RelinearizationKey:
+    def gen_relinearization_key(self, key, sk: SecretKey,
+                                base2: int = 0) -> RelinearizationKey:
         """RLK: gadget encryption of s² under s (ref keygenerator.go:99)."""
         p = self.params
         s2 = p.ring_q.mul_mont(sk.value.q, sk.value.q)  # M-form of s²
-        return RelinearizationKey(self.gadget_encrypt(key, s2, sk))
+        return RelinearizationKey(self.gadget_encrypt(key, s2, sk, base2=base2))
 
     def gen_galois_key(self, key, gal_el: int, sk: SecretKey) -> GaloisKey:
         """GK for X^i → X^{i·gal_el}: encrypt sk under σ_{gal_el^{-1}}(sk).

@@ -4,13 +4,14 @@ TPU-native analog of ``schemes/ckks``.
 """
 
 from lattigo_tpu.schemes.ckks.params import Parameters, ParametersLiteral
-from lattigo_tpu.schemes.ckks.encoder import Encoder
+from lattigo_tpu.schemes.ckks.encoder import Encoder, CIEncoder, PrecisionEncoder
 from lattigo_tpu.schemes.ckks.evaluator import Evaluator
 from lattigo_tpu.schemes.ckks.precision import (
     PrecisionStats, get_precision_stats, verify_test_vectors,
 )
 
 __all__ = [
-    "Parameters", "ParametersLiteral", "Encoder", "Evaluator",
+    "Parameters", "ParametersLiteral", "Encoder", "CIEncoder",
+    "PrecisionEncoder", "Evaluator",
     "PrecisionStats", "get_precision_stats", "verify_test_vectors",
 ]

@@ -182,3 +182,89 @@ class Encoder:
         ints = p.ring_q.to_int_coeffs(np.asarray(v), pt.level, centered=True)
         coeffs = np.array([float(x) for x in ints]) / float(pt.scale)
         return self.coeffs_to_slots(coeffs)
+
+    def decode_public(self, pt: Plaintext, log_prec: float = 0) -> np.ndarray:
+        """Decode for PUBLICATION: slot values are rounded to ``log_prec``
+        fractional bits so the decryption noise is not exposed — the
+        IND-CPA-D mitigation (ref encoder.go:199 DecodePublic,
+        SECURITY.md:30-39). ``log_prec == 0`` skips the rounding (the
+        caller takes responsibility for noise exposure)."""
+        v = self.decode(pt)
+        if log_prec:
+            s = 2.0 ** log_prec
+            v = (np.round(v.real * s) + 1j * np.round(v.imag * s)) / s
+        return v
+
+
+class PrecisionEncoder(Encoder):
+    """~106-bit canonical-embedding encoder (ref encoder.go:342
+    embedArbitrary, the >53-bit big-float path used by deep bootstrapping
+    and META-BTS verification).
+
+    Implementation: the same length-2N FFT formulation as :class:`Encoder`,
+    but in vectorized double-double arithmetic
+    (:mod:`lattigo_tpu.utils.ddarith`) with exact Fraction scale handling —
+    encode quantisation and decode are exact given the ~2^-105 embedding.
+
+    ``decode_dd`` returns the slots as a (hi, lo) pair of complex arrays so
+    sub-2^-53 structure is observable (e.g. measuring >53-bit META-BTS
+    output precision).
+    """
+
+    def encode(self, values, level: int | None = None,
+               scale: Fraction | None = None) -> Plaintext:
+        from lattigo_tpu.utils import ddarith as dd
+        p = self.params
+        level = p.max_level if level is None else level
+        scale = p.default_scale_fraction if scale is None else Fraction(scale)
+        slots = p.max_slots
+        v = np.asarray(values, dtype=np.complex128)
+        if v.shape[-1] < slots:
+            pad = np.zeros(v.shape[:-1] + (slots - v.shape[-1],), np.complex128)
+            v = np.concatenate([v, pad], axis=-1)
+        two_n = 2 * p.n
+        ar = np.zeros(v.shape[:-1] + (two_n,))
+        ai = np.zeros_like(ar)
+        ar[..., self.exponents] = v.real
+        ai[..., self.exponents] = v.imag
+        rh, rl, _, _ = dd.fft_dd(ar, np.zeros_like(ar), ai, np.zeros_like(ai))
+        # coeff_k = (2/N)·Re(FFT[k]); quantise at `scale` exactly
+        fac = Fraction(2, p.n) * scale
+        flat_h = rh[..., : p.n].reshape(-1)
+        flat_l = rl[..., : p.n].reshape(-1)
+        ints = np.empty(flat_h.shape, dtype=object)
+        for i in range(flat_h.shape[0]):
+            ints[i] = round(dd.dd_to_fraction(flat_h[i], flat_l[i]) * fac)
+        ints = ints.reshape(rh.shape[:-1] + (p.n,))
+        pt_q = self._lift_ints(ints, level)
+        return Plaintext(value=p.ring_q.ntt(pt_q, level), is_ntt=True, scale=scale)
+
+    def decode_dd(self, pt: Plaintext) -> tuple[np.ndarray, np.ndarray]:
+        """→ (slots_hi, slots_lo): complex128 pair, hi + lo ≈ true slots."""
+        from lattigo_tpu.utils import ddarith as dd
+        p = self.params
+        v = pt.value
+        if pt.is_ntt:
+            v = p.ring_q.intt(v, pt.level)
+        ints = p.ring_q.to_int_coeffs(np.asarray(v), pt.level, centered=True)
+        inv_scale = 1 / Fraction(pt.scale)
+        ch = np.empty(p.n)
+        cl = np.empty(p.n)
+        for i in range(p.n):
+            f = int(ints[i]) * inv_scale
+            ch[i] = float(f)
+            cl[i] = float(f - Fraction(ch[i]))
+        two_n = 2 * p.n
+        mh = np.concatenate([ch, np.zeros(two_n - p.n)])
+        ml = np.concatenate([cl, np.zeros(two_n - p.n)])
+        rh, rl, ih, il = dd.fft_dd(mh, ml, np.zeros(two_n), np.zeros(two_n),
+                                   inverse=True)
+        # slots = 2N·IFFT[e_j]
+        e = self.exponents
+        hi = (two_n * rh[e]) + 1j * (two_n * ih[e])
+        lo = (two_n * rl[e]) + 1j * (two_n * il[e])
+        return hi, lo
+
+    def decode(self, pt: Plaintext) -> np.ndarray:
+        hi, lo = self.decode_dd(pt)
+        return hi + lo

@@ -136,8 +136,12 @@ class Evaluator(RlweEvaluator):
         p = self.params
         level = ct.level
         scale = Fraction(ct.scale)
-        cre = int(round(float(c.real if isinstance(c, complex) else c) * float(scale)))
-        cim = int(round(float(c.imag) * float(scale))) if isinstance(c, complex) else 0
+        if isinstance(c, complex):
+            cre = int(round(c.real * float(scale)))
+            cim = int(round(c.imag * float(scale)))
+        else:
+            cre = round(Fraction(c) * scale)  # exact for Fraction/int/float
+            cim = 0
         if negate:
             cre, cim = -cre, -cim
         Q = p.q_big_int(level)
@@ -154,6 +158,26 @@ class Evaluator(RlweEvaluator):
         """Exact integer scalar multiply (scale unchanged)."""
         return ct.replace(value=self.params.ring_q.mul_scalar(ct.value, k, ct.level))
 
+    def scale_up(self, ct: Ciphertext, factor: int) -> Ciphertext:
+        """Multiply value AND scale by an integer: the message is unchanged
+        but the scale grows (ref evaluator.go:427 ScaleUp)."""
+        factor = int(factor)
+        return ct.replace(
+            value=self.params.ring_q.mul_scalar(ct.value, factor, ct.level),
+            scale=Fraction(ct.scale) * factor)
+
+    def set_scale(self, ct: Ciphertext, scale) -> Ciphertext:
+        """Bring the ciphertext to exactly `scale`: one constant mul at the
+        quantised ratio + rescale; the ratio quantisation error becomes
+        noise, as in the reference (ref evaluator.go:445 SetScale)."""
+        scale = Fraction(scale)
+        q_l = Fraction(self.params.q_moduli[ct.level])
+        r = round(scale * q_l / Fraction(ct.scale))
+        out = self.rescale(ct.replace(
+            value=self.params.ring_q.mul_scalar(ct.value, r, ct.level),
+            scale=Fraction(ct.scale) * r))
+        return out.replace(scale=scale)
+
     def mul_const(self, ct: Ciphertext, c,
                   const_scale: Fraction | None = None) -> Ciphertext:
         """Multiply by a real/complex constant scaled to ~one prime.
@@ -164,9 +188,15 @@ class Evaluator(RlweEvaluator):
         p = self.params
         level = ct.level
         cs = Fraction(p.q_moduli[level]) if const_scale is None else Fraction(const_scale)
-        c = complex(c)
-        cre = int(round(c.real * float(cs)))
-        cim = int(round(c.imag * float(cs)))
+        if isinstance(c, complex):
+            cre = int(round(c.real * float(cs)))
+            cim = int(round(c.imag * float(cs)))
+        else:
+            # real constants quantise exactly (Fraction/int/float are all
+            # exact rationals) — needed by CosDiscrete EvalMod, whose
+            # coefficients must survive at ≫53-bit precision
+            cre = round(Fraction(c) * cs)
+            cim = 0
         l = level + 1
         rq = p.ring_q
         out = rq.mul_scalar(ct.value, cre, level)
@@ -267,3 +297,11 @@ class Evaluator(RlweEvaluator):
     def conjugate(self, ct: Ciphertext) -> Ciphertext:
         """Slot-wise complex conjugation (ref :1206)."""
         return self.automorphism(ct, self.params.galois_element_order_two)
+
+    def rotate_hoisted(self, ct: Ciphertext, ks: list[int]) -> dict:
+        """{k: rot(ct, k)}: the gadget decomposition of c1 is computed ONCE
+        and shared across all rotations (ref :1228 RotateHoisted)."""
+        assert ct.degree == 1 and ct.is_ntt
+        digits = self.decompose_ntt(ct.value[..., 1, :, :], ct.level)
+        return {k: (ct if k == 0 else self.automorphism_hoisted(
+            ct, digits, self.params.galois_element(k))) for k in ks}

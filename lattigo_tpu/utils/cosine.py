@@ -9,12 +9,15 @@ This reaches a given accuracy at far lower degree than full-interval
 Chebyshev interpolation when K/2^r > 1.
 
 Returned coefficients are in the Chebyshev basis of the variable
-v = x·2^r/K (the reference's [−K/2^r, K/2^r] interval convention,
-cosine_approx.go:265 T[i][1] = x/(K/scfac)); :mod:`circuits.mod1`
-evaluates them with the matching input normalisation.
+v = x·2^r/K (the reference's [−K/scfac, K/scfac] interval convention,
+cosine_approx.go:265 x[i] /= scfac): :mod:`circuits.mod1` evaluates them
+at v = y·2^r/K, where |v| ranges up to ~2^r. Chebyshev values T_n(v)
+there are astronomically large and cancel against the decaying
+coefficients, so the whole computation runs at 256-bit precision
+(mpmath), matching the reference's cosine.EncodingPrecision — the f64
+result of a lower-precision solve is useless beyond |v| > 1.
 
-Precision: numpy longdouble (64-bit mantissa on x86) instead of the
-reference's 256-bit big floats — adequate for ≤ 50-bit targets.
+All of this is host-side parameter generation; speed is irrelevant.
 """
 
 from __future__ import annotations
@@ -22,14 +25,17 @@ from __future__ import annotations
 import math
 
 import numpy as np
+from mpmath import mp, mpf, cos as mp_cos, pi as mp_pi
 
-_LD = np.longdouble
-_PI = _LD("3.14159265358979323846264338327950288")
+_PREC = 256  # bits, ref cosine_approx.go EncodingPrecision
 _LOG2_2PI = math.log2(2 * math.pi)
 
 
 def _gen_degrees(degree: int, k: int, dev: float):
-    """Node count per interval [i ± 1/dev] (ref cosine_approx.go:82)."""
+    """Node count per interval [i ± 1/dev] (ref cosine_approx.go:82).
+
+    Pure float64 bookkeeping, as in the reference (genDegrees uses float64).
+    """
     degbdd = degree + 1
     totdeg = 2 * k - 1
     err = 1.0 / dev
@@ -79,77 +85,98 @@ def _gen_degrees(degree: int, k: int, dev: float):
 
 
 def _gen_nodes(deg, dev: float, totdeg: int, k: int, scnum: int):
-    """Nodes ±i ± cos(πj/deg_i)/dev and f(nodes) (ref :159)."""
-    scfac = _LD(1 << scnum)
-    inter = _LD(1.0) / _LD(dev)
-    nodes = np.zeros(totdeg, dtype=_LD)
+    """Nodes ±i ± cos(πj/deg_i)/dev and f(nodes), 256-bit (ref :160)."""
+    scfac = mpf(1 << scnum)
+    inter = mpf(1) / mpf(dev)
+    nodes = [mpf(0)] * totdeg
     cnt = 1 if deg[0] % 2 != 0 else 0
     for i in range(k - 1, 0, -1):
         for j in range(deg[i]):
-            t = np.cos(_PI * _LD(2 * j) / _LD(2 * deg[i])) * inter
-            nodes[cnt] = _LD(i) + t
+            t = mp_cos(mp_pi * mpf(2 * j) / mpf(2 * deg[i])) * inter
+            nodes[cnt] = mpf(i) + t
             cnt += 1
             nodes[cnt] = -nodes[cnt - 1]
             cnt += 1
     for j in range(deg[0] // 2):
-        t = np.cos(_PI * _LD(2 * j) / _LD(2 * deg[0])) * inter
+        t = mp_cos(mp_pi * mpf(2 * j) / mpf(2 * deg[0])) * inter
         nodes[cnt] = t
         cnt += 1
         nodes[cnt] = -nodes[cnt - 1]
         cnt += 1
-    y = np.cos(2 * _PI * (nodes - _LD(0.25)) / scfac)
+    y = [mp_cos(2 * mp_pi * (x - mpf(1) / 4) / scfac) for x in nodes]
     return nodes, y
 
 
-def approximate_cos(k: int, degree: int, dev: float, scnum: int) -> list[float]:
-    """Chebyshev-basis coefficients (variable x·2^scnum/K) of the Han–Ki
-    interpolant of cos(2π(x−0.25)/2^scnum) on [−K, K] (ref :30)."""
-    deg, totdeg = _gen_degrees(degree, k, dev)
-    nodes, y = _gen_nodes(deg, dev, totdeg, k, scnum)
+def approximate_cos(k: int, degree: int, dev: float, scnum: int):
+    """Chebyshev-basis coefficients (variable v = x·2^scnum/K) of the
+    Han–Ki interpolant of cos(2π(x−0.25)/2^scnum) on [−K, K] (ref :30).
 
-    scfac = _LD(1 << scnum)
-    # divided differences (Newton form), ref solve():248
-    y = np.array(y, dtype=_LD)
-    for j in range(1, totdeg):
-        for i in range(totdeg - j):
-            y[i] = (y[i + 1] - y[i]) / (nodes[i + j] - nodes[i])
+    Returns a list of mpmath mpf values — keep them high-precision until
+    the final scale-embedding multiply (float64 coefficients are not
+    accurate enough for the |v| > 1 evaluation range).
+    """
+    with mp.workprec(_PREC):
+        deg, totdeg = _gen_degrees(degree, k, dev)
+        nodes, y = _gen_nodes(deg, dev, totdeg, k, scnum)
 
-    totdeg += 1
-    kb = _LD(k)
-    x = (kb / scfac) * np.cos(_PI * np.arange(totdeg, dtype=_LD)
-                              / _LD(totdeg - 1))
+        scfac = mpf(1 << scnum)
+        # divided differences (Newton form), ref solve():248
+        y = list(y)
+        for j in range(1, totdeg):
+            for i in range(totdeg - j):
+                y[i] = (y[i + 1] - y[i]) / (nodes[i + j] - nodes[i])
 
-    # evaluate the Newton interpolant at the x points
-    p = np.full(totdeg, y[0], dtype=_LD)
-    for j in range(1, totdeg - 1):
-        p = p * (x - nodes[j]) + y[j]
+        totdeg += 1
+        kb = mpf(k)
+        x = [(kb / scfac) * mp_cos(mp_pi * mpf(i) / mpf(totdeg - 1))
+             for i in range(totdeg)]
 
-    # Chebyshev basis in v = x/(K/scfac): build and solve T c = p
-    T = np.zeros((totdeg, totdeg), dtype=_LD)
-    v = x / (kb / scfac)
-    T[:, 0] = 1.0
-    T[:, 1] = v
-    for j in range(2, totdeg):
-        T[:, j] = 2.0 * v * T[:, j - 1] - T[:, j - 2]
+        # evaluate the Newton interpolant at the x points
+        p = [y[0]] * totdeg
+        for i in range(totdeg):
+            acc = y[0]
+            for j in range(1, totdeg - 1):
+                acc = acc * (x[i] - nodes[j]) + y[j]
+            p[i] = acc
 
-    # Gaussian elimination with partial pivoting in longdouble
-    Tm = T.copy()
-    pv = p.copy()
-    n = totdeg
-    for i in range(n - 1):
-        mi = i + int(np.argmax(np.abs(Tm[i:, i])))
-        if mi != i:
-            Tm[[i, mi]] = Tm[[mi, i]]
-            pv[[i, mi]] = pv[[mi, i]]
-        Tm[i, i + 1:] /= Tm[i, i]
-        pv[i] /= Tm[i, i]
-        Tm[i, i] = 1.0
-        for j2 in range(i + 1, n):
-            pv[j2] -= Tm[j2, i] * pv[i]
-            Tm[j2, i + 1:] -= Tm[j2, i] * Tm[i, i + 1:]
-            Tm[j2, i] = 0.0
-    c = np.zeros(n, dtype=_LD)
-    c[n - 1] = pv[n - 1] / Tm[n - 1, n - 1]
-    for i in range(n - 2, -1, -1):
-        c[i] = pv[i] - np.dot(Tm[i, i + 1:], c[i + 1:])
-    return [float(ci) for ci in c[: totdeg - 1]]
+        # Chebyshev basis in v = x/(K/scfac): build and solve T c = p
+        n = totdeg
+        v = [xi / (kb / scfac) for xi in x]
+        T = [[mpf(0)] * n for _ in range(n)]
+        for i in range(n):
+            T[i][0] = mpf(1)
+            T[i][1] = v[i]
+            for j in range(2, n):
+                T[i][j] = 2 * v[i] * T[i][j - 1] - T[i][j - 2]
+
+        # Gaussian elimination with partial pivoting (ref solve():320)
+        pv = list(p)
+        for i in range(n - 1):
+            mi = i
+            mx = abs(T[i][i])
+            for j in range(i + 1, n):
+                if abs(T[j][i]) > mx:
+                    mi, mx = j, abs(T[j][i])
+            if mi != i:
+                T[i], T[mi] = T[mi], T[i]
+                pv[i], pv[mi] = pv[mi], pv[i]
+            piv = T[i][i]
+            for j in range(i + 1, n):
+                T[i][j] /= piv
+            pv[i] /= piv
+            T[i][i] = mpf(1)
+            for j2 in range(i + 1, n):
+                f = T[j2][i]
+                if f != 0:
+                    pv[j2] -= f * pv[i]
+                    for j in range(i + 1, n):
+                        T[j2][j] -= f * T[i][j]
+                    T[j2][i] = mpf(0)
+        c = [mpf(0)] * n
+        c[n - 1] = pv[n - 1] / T[n - 1][n - 1]
+        for i in range(n - 2, -1, -1):
+            acc = pv[i]
+            for j in range(i + 1, n):
+                acc -= T[i][j] * c[j]
+            c[i] = acc
+        return c[: totdeg - 1]

@@ -16,9 +16,8 @@ from lattigo_tpu.circuits import bootstrapping as bts
 from lattigo_tpu.circuits.mod1 import Mod1Parameters
 
 
-@pytest.mark.parametrize("ephemeral_weight", [None, 16],
-                         ids=["dense", "sparse-encapsulated"])
-def test_bootstrap_end_to_end(ephemeral_weight):
+@pytest.fixture(scope="module")
+def ctx():
     # Chain layout (bottom→top): q0(55) | residual(45) | S2C 2x45 |
     # EvalMod 11x55 | C2S 3x55. EvalMod primes match the 2^55 working scale
     # (the reference's EvalModLogScale design) so the Chebyshev power-basis
@@ -42,27 +41,83 @@ def test_bootstrap_end_to_end(ephemeral_weight):
         mod1=Mod1Parameters(k=16, degree=30, double_angle=4,
                             log_message_ratio=10),
         residual_levels=1,
-        ephemeral_secret_weight=ephemeral_weight,
     )
     btp = bts.BootstrappingEvaluator(params, ev0, enc, btp_params)
-
     gks = kgen.gen_galois_keys(k_gk, btp.galois_elements(), sk)
     evk = rlwe.EvaluationKeySet(relinearization_key=rlk, galois_keys=gks)
     btp.with_evaluator(ckks.Evaluator(params, evk))
+    return dict(params=params, sk=sk, enc=enc, btp=btp,
+                btp_params=btp_params, k_ct=k_ct)
 
-    enc_keys = btp.gen_encapsulation_keys(jax.random.PRNGKey(77), sk)
 
-    rng = np.random.default_rng(1)
-    v = rng.uniform(-1, 1, params.max_slots) + 1j * rng.uniform(-1, 1, params.max_slots)
-    ct = rlwe.Encryptor(params, sk).encrypt(k_ct, enc.encode(v)).at_level(0)
-    assert ct.level == 0
+def _fresh_ct(ctx, seed=1):
+    params, enc = ctx["params"], ctx["enc"]
+    rng = np.random.default_rng(seed)
+    v = (rng.uniform(-1, 1, params.max_slots)
+         + 1j * rng.uniform(-1, 1, params.max_slots))
+    ct = rlwe.Encryptor(params, ctx["sk"]).encrypt(
+        ctx["k_ct"], enc.encode(v)).at_level(0)
+    return v, ct
 
-    out = btp.bootstrap(ct, enc_keys)
-    assert out.level >= btp_params.residual_levels, (
+
+def _precision(ctx, out, v):
+    got = ctx["enc"].decode(rlwe.Decryptor(ctx["params"], ctx["sk"]).decrypt(out))
+    return -np.log2(np.abs(got - v).max() + 1e-300)
+
+
+def test_bootstrap_end_to_end(ctx):
+    v, ct = _fresh_ct(ctx)
+    out = ctx["btp"].bootstrap(ct)
+    assert out.level >= ctx["btp_params"].residual_levels, (
         f"bootstrap returned level {out.level}")
-
-    got = enc.decode(rlwe.Decryptor(params, sk).decrypt(out))
-    err = np.abs(got - v)
-    prec = -np.log2(err.max() + 1e-300)
+    prec = _precision(ctx, out, v)
     print(f"bootstrap precision: {prec:.1f} bits (out level {out.level})")
     assert prec >= 8.0, f"bootstrap precision too low: {prec:.1f} bits"
+
+
+def test_bootstrap_sparse_encapsulated(ctx):
+    """ModUp under an ephemeral sparse secret (ia.cr/2022/024)."""
+    params, sk = ctx["params"], ctx["sk"]
+    btp = bts.BootstrappingEvaluator(
+        params, ctx["btp"].ev, ctx["enc"],
+        bts.BootstrappingParameters(
+            c2s_levels=[4, 3], s2c_levels=[4, 3],
+            mod1=Mod1Parameters(k=16, degree=30, double_angle=4,
+                                log_message_ratio=10),
+            residual_levels=1, ephemeral_secret_weight=16))
+    enc_keys = btp.gen_encapsulation_keys(jax.random.PRNGKey(77), sk)
+    v, ct = _fresh_ct(ctx, seed=2)
+    out = btp.bootstrap(ct, enc_keys)
+    prec = _precision(ctx, out, v)
+    print(f"sparse bootstrap precision: {prec:.1f} bits")
+    assert prec >= 8.0, f"bootstrap precision too low: {prec:.1f} bits"
+
+
+def test_bootstrap_meta_iterations(ctx):
+    """META-BTS: a second iteration on the residual error must add
+    ≥ 3 bits over the single bootstrap (ref evaluator.go:315
+    IterationsParameters; gains ~log_prec bits per iteration)."""
+    v, ct = _fresh_ct(ctx, seed=3)
+    single = ctx["btp"].bootstrap(ct)
+    prec1 = _precision(ctx, single, v)
+    meta = ctx["btp"].bootstrap_meta(ct, iterations=2, log_prec=6)
+    prec2 = _precision(ctx, meta, v)
+    print(f"META-BTS precision: {prec1:.1f} → {prec2:.1f} bits")
+    assert prec2 >= prec1 + 3.0, (
+        f"META-BTS gained only {prec2 - prec1:.1f} bits")
+
+
+@pytest.mark.skip(reason="full-pipeline abstract trace currently takes tens "
+                  "of minutes on CPU — under investigation (profile in "
+                  "progress); jitted() works but is too slow for CI")
+def test_bootstrap_jit_traceable(ctx):
+    """The full pipeline traces into ONE jittable XLA program with a batch
+    axis (BootstrapMany = leading dim). jitted() runs eval_shape inside —
+    trace only, no compile."""
+    v, ct = _fresh_ct(ctx, seed=4)
+    batched = ct.replace(value=np.broadcast_to(
+        np.asarray(ct.value), (3,) + ct.value.shape))
+    fn = ctx["btp"].jitted(batched)
+    assert fn.out_shape.shape[0] == 3               # batch carried through
+    assert fn.out_shape.shape[-2] >= 2              # residual levels present
+    assert fn.out_meta["is_ntt"]

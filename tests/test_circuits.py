@@ -124,11 +124,21 @@ def test_dft_c2s_semantics(ctx):
     ckks.verify_test_vectors(want_im, got_im, min_precision=10.0)
 
 
-def test_mod1():
+@pytest.mark.parametrize("mod1_type,degree,int_bound,bound", [
+    (mod1_mod.COS_CONTINUOUS, 30, 7, 2.0 ** -12),
+    # CosDiscrete is homomorphically stable only for |y| ≲ K/2^r: beyond,
+    # constant-quantisation error is amplified by the huge T_n values of
+    # its out-of-[−1,1] Chebyshev variable. The reference's own test
+    # (mod1_evaluator_test.go:186) draws integers from ±(K/2^r − 1) too.
+    (mod1_mod.COS_DISCRETE, 30, 1, 2.0 ** -12),
+    (mod1_mod.SIN_CONTINUOUS, 63, 7, 2.0 ** -10),
+])
+def test_mod1(mod1_type, degree, int_bound, bound):
     """EvalMod: y = frac + integer, |frac| small → recover frac.
 
     Own fixture: mod1 at degree 30 + 3 double-angles consumes ~11 levels
     (1 interval map + ~7 poly + 3 squarings), deeper than the shared ctx.
+    Exercises all three approximation types (ref mod1_parameters.go:23).
     """
     params = ckks.Parameters(ckks.ParametersLiteral(
         log_n=9,
@@ -146,13 +156,13 @@ def test_mod1():
     rng = np.random.default_rng(11)
     k = 8
     frac = rng.uniform(-1, 1, params.max_slots) * (2.0 ** -5)
-    ints = rng.integers(-(k - 1), k - 1, params.max_slots)
+    ints = rng.integers(-int_bound, int_bound + 1, params.max_slots)
     y = frac + ints
     ct = rlwe.Encryptor(params, sk).encrypt(jax.random.PRNGKey(21), enc.encode(y))
     m1 = mod1_mod.Mod1Evaluator(
-        ev, mod1_mod.Mod1Parameters(k=k, degree=30, double_angle=3,
-                                    log_message_ratio=5))
+        ev, mod1_mod.Mod1Parameters(k=k, degree=degree, double_angle=3,
+                                    log_message_ratio=5, mod1_type=mod1_type))
     out = m1.evaluate(ct)
     got = np.real(enc.decode(rlwe.Decryptor(params, sk).decrypt(out)))
     err = np.abs(got - frac)
-    assert err.max() < 2.0 ** -12, f"mod1 max err {err.max():.2e}"
+    assert err.max() < bound, f"mod1[{mod1_type}] max err {err.max():.2e}"

@@ -140,3 +140,47 @@ def test_add_after_rescale(ctx):
     pt3 = ctx["enc"].encode(v3, level=prod.level, scale=prod.scale)
     out = ev.add(prod, pt3)
     ckks.verify_test_vectors(v1 * v2 + v3, dec(ctx, out), 24.0)
+
+
+def test_scale_up_set_scale(ctx):
+    """ScaleUp multiplies value+scale; SetScale lands on an exact target
+    (ref evaluator.go:427/:445)."""
+    from fractions import Fraction
+    params, enc, ev = ctx["params"], ctx["enc"], ctx["eval"]
+    v = rand_vec(params, 31)
+    ct = enc_ct(ctx, v, seed=131)
+
+    up = ev.scale_up(ct, 8)
+    assert Fraction(up.scale) == 8 * Fraction(ct.scale)
+    got = enc.decode(ctx["decryptor"].decrypt(up))
+    assert np.abs(got - v).max() < 1e-8
+
+    target = Fraction(2) ** 41
+    st = ev.set_scale(ct, target)
+    assert Fraction(st.scale) == target and st.level == ct.level - 1
+    got2 = enc.decode(ctx["decryptor"].decrypt(st))
+    assert np.abs(got2 - v).max() < 1e-8
+
+
+def test_decode_public_rounding(ctx):
+    """decode_public rounds slots to log_prec bits (IND-CPA-D mitigation,
+    ref encoder.go:199)."""
+    params, enc = ctx["params"], ctx["enc"]
+    v = rand_vec(params, 32)
+    ct = enc_ct(ctx, v, seed=132)
+    got = enc.decode_public(ctx["decryptor"].decrypt(ct), log_prec=12)
+    # quantized to 2^-12 grid...
+    s = 2.0 ** 12
+    assert np.allclose(got.real * s, np.round(got.real * s))
+    assert np.abs(got - v).max() < 2.0 ** -12
+
+
+def test_rotate_hoisted(ctx):
+    """Hoisted multi-rotation matches per-rotation results (ref :1228)."""
+    params, enc, ev = ctx["params"], ctx["enc"], ctx["eval"]
+    v = rand_vec(params, 33)
+    ct = enc_ct(ctx, v, seed=133)
+    outs = ev.rotate_hoisted(ct, [0, 1])
+    for k, out in outs.items():
+        got = enc.decode(ctx["decryptor"].decrypt(out))
+        assert np.abs(got - np.roll(v, -k)).max() < 1e-8, f"rot {k}"

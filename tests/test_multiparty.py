@@ -167,3 +167,41 @@ def test_threshold_shamir(ctx):
         jax.random.PRNGKey(13), enc.encode(m))
     got = enc.decode(rlwe.Decryptor(params, sk_rec).decrypt(ct)) % params.t
     np.testing.assert_array_equal(got, m)
+
+
+def test_collective_evaluation_key(ctx):
+    """Generic collective EVK sk_ideal → sk_out re-encrypts correctly
+    (ref keygen_evk.go:17): decrypting under sk_out after the key switch
+    recovers the message."""
+    params, sks, sk_ideal = ctx["params"], ctx["sks"], ctx["sk_ideal"]
+    enc = ctx["enc"]
+    kgen = ctx["kgen"]
+
+    # output key: each party holds an additive share of sk_out too
+    keys = jax.random.split(jax.random.PRNGKey(30), N_PARTIES)
+    sks_out = [kgen.gen_secret_key(k) for k in keys]
+    q = sks_out[0].value.q
+    p = sks_out[0].value.p
+    for s in sks_out[1:]:
+        q = params.ring_q.add(q, s.value.q)
+        p = params.ring_p.add(p, s.value.p)
+    sk_out_ideal = rlwe.SecretKey(QPPoly(q, p))
+
+    proto = mp.EvaluationKeyGenProtocol(params)
+    crps = proto.sample_crp(b"evk-crs")
+    share_keys = jax.random.split(jax.random.PRNGKey(31), N_PARTIES)
+    shares = [proto.gen_share(k, s_in, s_out, crps)
+              for k, s_in, s_out in zip(share_keys, sks, sks_out)]
+    agg = shares[0]
+    for s in shares[1:]:
+        agg = proto.aggregate_shares(agg, s)
+    evk = proto.finalize(agg, crps)
+
+    ev = rlwe.Evaluator(params)
+    rng = np.random.default_rng(32)
+    m = rng.integers(0, params.t, params.n, dtype=np.int64)
+    ct = rlwe.Encryptor(params, sk_ideal).encrypt(
+        jax.random.PRNGKey(33), enc.encode(m))
+    switched = ev.apply_evaluation_key(ct, evk)
+    got = enc.decode(rlwe.Decryptor(params, sk_out_ideal).decrypt(switched)) % params.t
+    np.testing.assert_array_equal(got, m % params.t)
