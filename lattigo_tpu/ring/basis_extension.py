@@ -87,6 +87,25 @@ class ModUpConstants:
             ).reshape(Li, 1)
         )
 
+        # Small-prime fast path (all moduli < 2^30): y_i·(qhat mod p_j) fits
+        # u64 PLAIN, so the contraction runs as raw multiply-accumulate with
+        # one Barrett reduction per output element — ~4x fewer VPU ops than
+        # per-term Montgomery (the ModUp analog of modops' engine32).
+        self.small = max(src_moduli + dst_moduli) < (1 << 30)
+        if self.small:
+            qhat_plain = np.zeros((Li, Lj), dtype=_U64)
+            for i, q in enumerate(src_moduli):
+                qh = Q // q
+                for j, p in enumerate(dst_moduli):
+                    qhat_plain[i, j] = qh % p
+            self.qhat_plain = qhat_plain
+            qneg_plain = np.zeros((Lj,), dtype=_U64)
+            for j, p in enumerate(dst_moduli):
+                qneg_plain[j] = (-Q) % p
+            self.qneg_plain = qneg_plain
+            # terms < 2^30·2^30 = 2^60: flush cadence for the raw sum
+            self.margin_small = max(1, ((1 << 64) - 1) // (1 << 60) - 1)
+
 
 def _overflow_count(y, consts: ModUpConstants, centered: bool):
     """v = floor/round(Σ_i y_i/q_i) via exact 128-bit fixed point.
@@ -120,6 +139,19 @@ def mod_up(x, consts: ModUpConstants, dst_q, dst_qinv, dst_bhi, centered: bool =
     v = _overflow_count(y, consts, centered)             # [..., N]
 
     Li = len(consts.src_moduli)
+    if consts.small:
+        # raw u64 MAC (terms < 2^60) + one Barrett per output element;
+        # v < Li+1 so v·(−Q mod p) is far below the term bound too
+        acc = v[..., None, :] * consts.qneg_plain[:, None]
+        pending = 1
+        for i in range(Li):
+            acc = acc + y[..., i : i + 1, :] * consts.qhat_plain[i][:, None]
+            pending += 1
+            if pending >= consts.margin_small and i != Li - 1:
+                acc = modops.bred_add_lazy(acc, dst_q, dst_bhi)
+                pending = 1
+        return modops.bred_add(acc, dst_q, dst_bhi)
+
     acc = modops.mred_lazy(v[..., None, :], consts.qneg_dst, dst_q, dst_qinv)
     pending = 1
     for i in range(Li):
