@@ -189,7 +189,7 @@ class BasisExtender:
         pinv = np.array(
             [_mform_int(pow(P % q, -1, q), q) for q in ring_q.moduli], dtype=_U64
         ).reshape(lq, 1)
-        self.pinv_q = jnp.asarray(pinv)
+        self.pinv_q = pinv
         self.p_modulus = P
 
     def mod_up_q_to_p(self, x, level_q: int, centered: bool = True):
@@ -264,9 +264,9 @@ class Decomposer:
         lo, hi = self.digit_range(level_q, d)
         lq = level_q + 1
         consts = self._get_consts(level_q, d)
-        dst_q = jnp.concatenate([rq.q[:lq], rp.q], axis=0)
-        dst_qinv = jnp.concatenate([rq.qinv[:lq], rp.qinv], axis=0)
-        dst_bhi = jnp.concatenate([rq.bred_hi[:lq], rp.bred_hi], axis=0)
+        dst_q = np.concatenate([rq.q[:lq], rp.q], axis=0)
+        dst_qinv = np.concatenate([rq.qinv[:lq], rp.qinv], axis=0)
+        dst_bhi = np.concatenate([rq.bred_hi[:lq], rp.bred_hi], axis=0)
         ext = mod_up(x_coeff[..., lo:hi, :], consts, dst_q, dst_qinv, dst_bhi, True)
         # Pass the digit's own limbs through exactly (no conversion error).
         ext = ext.at[..., lo:hi, :].set(x_coeff[..., lo:hi, :])

@@ -110,15 +110,17 @@ SMALL_Q_BITS = 30
 def _is_small(q) -> bool:
     """True iff every modulus in the (trace-time constant) table is < 2^30.
 
-    Modulus tables are always closure constants — concrete both eagerly and
-    under jit — so this is a static dispatch. If a table ever arrives as a
-    traced argument, fall back to the generic path.
+    Modulus tables are stored as NUMPY host arrays precisely so this stays
+    a static (concrete) dispatch under tracing — jax ≥ 0.9 turns any op on
+    a jnp closure constant into a tracer, and probing a tracer both loses
+    the fast path and costs O(jaxpr) per call in exception bookkeeping.
+    A traced table falls back to the generic path WITHOUT constructing the
+    (expensive) concretization error.
     """
-    try:
-        import numpy as _np
-        return int(_np.max(_np.asarray(q))) < (1 << SMALL_Q_BITS)
-    except Exception:
-        return False
+    import numpy as _np
+    if not isinstance(q, (_np.ndarray, _np.generic, int)):
+        return False  # traced value: generic path
+    return int(_np.max(_np.asarray(q))) < (1 << SMALL_Q_BITS)
 
 
 def _mred32_lazy(a, b, q, qinv32):

@@ -115,14 +115,21 @@ class Ring:
             f, b, nv = s.root_tables()
             fwd[i], inv[i], ninv[i, 0] = f, b, nv
 
-        # Device-resident tables (constants baked into jitted programs).
-        self.q = jnp.asarray(q_np)
-        self.qinv = jnp.asarray(qinv_np)
-        self.bred_hi = jnp.asarray(bhi_np)
-        self.bred_lo = jnp.asarray(blo_np)
-        self.roots = jnp.asarray(fwd)
-        self.iroots = jnp.asarray(inv)
-        self.ninv = jnp.asarray(ninv)
+        # Tables stay NUMPY on the host: under jax >= 0.9 any op on a jnp
+        # closure constant inside a trace yields a tracer, which (a) defeats
+        # the static small-modulus dispatch in modops (the engine32/raw-MAC
+        # fast paths silently fell back to generic u64 under jit) and
+        # (b) made every failed concreteness probe construct a tracer-leak
+        # error whose message generation walks the whole jaxpr — O(n^2)
+        # trace times. numpy slices/concats of these tables stay concrete;
+        # XLA bakes them as constants at the op that consumes them.
+        self.q = q_np
+        self.qinv = qinv_np
+        self.bred_hi = bhi_np
+        self.bred_lo = blo_np
+        self.roots = fwd
+        self.iroots = inv
+        self.ninv = ninv
 
         # Rescale constants: MForm(q_last^{-1} mod q_i) for every (last, i)
         # pair, used by DivRoundByLastModulus (ref ring/ring.go:329-346).
@@ -131,7 +138,7 @@ class Ring:
             ql = moduli[last]
             for i in range(last):
                 resc[last, i, 0] = _mform_int(pow(ql, -1, moduli[i]), moduli[i])
-        self.rescale_constants = jnp.asarray(resc)
+        self.rescale_constants = resc
 
         if ring_type == CONJUGATE_INVARIANT:
             # Per-limb CI transform tables (4N-th roots; ref ring/ntt.go:715,
@@ -151,11 +158,11 @@ class Ring:
                 f, b, f1, i1, nv = ntt_ci_mod.gen_ci_tables(n, psi4, q)
                 fwd_ci[i], inv_ci[i] = f, b
                 ff[i, 0], fi[i, 0], ninv_ci[i, 0] = f1, i1, nv
-            self.ci_roots = jnp.asarray(fwd_ci)
-            self.ci_iroots = jnp.asarray(inv_ci)
-            self.ci_f_fwd = jnp.asarray(ff)
-            self.ci_f_inv = jnp.asarray(fi)
-            self.ci_ninv = jnp.asarray(ninv_ci)
+            self.ci_roots = fwd_ci
+            self.ci_iroots = inv_ci
+            self.ci_f_fwd = ff
+            self.ci_f_inv = fi
+            self.ci_ninv = ninv_ci
 
         _ = self._pallas  # build eagerly (see note on the property)
 
@@ -259,7 +266,7 @@ class Ring:
             [_mform_int(scalar % q, q) for q in self.moduli[: l + 1]], dtype=_U64
         ).reshape(l + 1, 1)
         q, qinv, *_ = self.tables(level)
-        return modops.mred(a, jnp.asarray(s), q, qinv)
+        return modops.mred(a, s, q, qinv)
 
     def rns_scalar(self, scalar: int, level: int | None = None, mont: bool = True):
         """Host int → uint64[l+1, 1] residues (optionally Montgomery form)."""
@@ -268,7 +275,7 @@ class Ring:
             _mform_int(scalar % q, q) if mont else scalar % q
             for q in self.moduli[: l + 1]
         ]
-        return jnp.asarray(np.array(vals, dtype=_U64).reshape(l + 1, 1))
+        return np.array(vals, dtype=_U64).reshape(l + 1, 1)
 
     # -- NTT ------------------------------------------------------------------
 

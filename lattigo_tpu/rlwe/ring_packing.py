@@ -131,18 +131,20 @@ class RingPackingEvaluator:
     @functools.lru_cache(maxsize=None)
     def _x_pow_mont(self, power: int, level: int, log_n: int | None = None):
         """MForm(NTT(X^power)) for power mod 2N (ref GenXPow2NTT:773)."""
+        import jax
         p = self._params(self.params.log_n if log_n is None else log_n)
         k = power % (2 * p.n)
         coeffs = [0] * p.n
-        if k < p.n:
-            coeffs[k] = 1
-            poly = p.ring_q.from_int_coeffs(coeffs, level)
-        else:
-            coeffs[k - p.n] = 1
-            poly = p.ring_q.neg(p.ring_q.from_int_coeffs(coeffs, level), level)
-        # numpy: this lru cache may first fire inside a jit trace, where a
-        # jnp result would be a leaked tracer
-        return np.asarray(p.ring_q.mform(p.ring_q.ntt(poly, level), level))
+        # constant computation stays concrete even mid-trace (jax >= 0.9
+        # turns constant ops into tracers otherwise)
+        with jax.ensure_compile_time_eval():
+            if k < p.n:
+                coeffs[k] = 1
+                poly = p.ring_q.from_int_coeffs(coeffs, level)
+            else:
+                coeffs[k - p.n] = 1
+                poly = p.ring_q.neg(p.ring_q.from_int_coeffs(coeffs, level), level)
+            return np.asarray(p.ring_q.mform(p.ring_q.ntt(poly, level), level))
 
     def _mul_xpow(self, ct: Ciphertext, power: int,
                   log_n: int | None = None) -> Ciphertext:

@@ -275,10 +275,13 @@ class Evaluator(RlweEvaluator):
             p = self.params
             coeffs = [0] * p.n
             coeffs[p.n // 2] = 1
-            poly = p.ring_q.from_int_coeffs(coeffs, level)
-            # numpy: cache may first fill inside a jit trace
-            cache[level] = np.asarray(
-                p.ring_q.mform(p.ring_q.ntt(poly, level), level))
+            # constant computation must stay concrete even mid-trace
+            # (jax >= 0.9 turns constant ops into tracers otherwise)
+            import jax
+            with jax.ensure_compile_time_eval():
+                poly = p.ring_q.from_int_coeffs(coeffs, level)
+                cache[level] = np.asarray(
+                    p.ring_q.mform(p.ring_q.ntt(poly, level), level))
         return cache[level]
 
     def mul_by_i(self, ct: Ciphertext) -> Ciphertext:

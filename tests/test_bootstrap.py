@@ -107,9 +107,6 @@ def test_bootstrap_meta_iterations(ctx):
         f"META-BTS gained only {prec2 - prec1:.1f} bits")
 
 
-@pytest.mark.skip(reason="full-pipeline abstract trace currently takes tens "
-                  "of minutes on CPU — under investigation (profile in "
-                  "progress); jitted() works but is too slow for CI")
 def test_bootstrap_jit_traceable(ctx):
     """The full pipeline traces into ONE jittable XLA program with a batch
     axis (BootstrapMany = leading dim). jitted() runs eval_shape inside —
