@@ -123,6 +123,18 @@ class BootstrappingEvaluator:
     def galois_elements(self) -> list[int]:
         return self.dft.galois_elements()
 
+    @property
+    def minimum_input_level(self) -> int:
+        """Lowest level a ciphertext may have on entry (ref
+        bootstrapping/bootstrapper.go MinimumInputLevel); ScaleDown brings
+        the input to level 0 regardless, so any level is acceptable."""
+        return 0
+
+    @property
+    def output_level(self) -> int:
+        """Level of the bootstrapped output (ref OutputLevel)."""
+        return self.level_s2c_top - len(self.btp.s2c_levels)
+
     # -- stages ----------------------------------------------------------------
 
     def scale_down(self, ct: Ciphertext) -> Ciphertext:
@@ -247,3 +259,44 @@ class BootstrappingEvaluator:
         wrapped.out_shape = shape
         wrapped.out_meta = dict(out_meta)
         return wrapped
+
+
+class SecretKeyBootstrapper:
+    """Debug decrypt-then-reencrypt "bootstrapper" (ref
+    bootstrapping/sk_bootstrapper.go:68): implements the same interface as
+    :class:`BootstrappingEvaluator` but refreshes by decrypting with the
+    secret key, re-encoding at the top level, and re-encrypting. Use it to
+    test level-hungry circuits (minimax composites, inverse, …) without
+    paying for real bootstrapping; ``counter`` records how many
+    bootstraps the circuit consumed.
+    """
+
+    def __init__(self, params, encoder, sk, key):
+        from lattigo_tpu.rlwe.encryption import Decryptor, Encryptor
+
+        self.params = params
+        self.encoder = encoder
+        self.dec = Decryptor(params, sk)
+        self.enc = Encryptor(params, sk)
+        self.key = key
+        self.counter = 0
+
+    @property
+    def minimum_input_level(self) -> int:
+        return 0
+
+    @property
+    def output_level(self) -> int:
+        return self.params.max_level
+
+    def bootstrap(self, ct: Ciphertext) -> Ciphertext:
+        import jax
+
+        values = self.encoder.decode(self.dec.decrypt(ct))
+        pt = self.encoder.encode(values)
+        self.key, sub = jax.random.split(self.key)
+        self.counter += 1
+        return self.enc.encrypt(sub, pt)
+
+    def bootstrap_many(self, cts: list[Ciphertext]) -> list[Ciphertext]:
+        return [self.bootstrap(c) for c in cts]
