@@ -56,6 +56,80 @@ class Polynomial:
                 Polynomial(r, self.basis, self.interval))
 
 
+@dataclass
+class PolynomialVector:
+    """Different polynomials applied to different slots (ref
+    circuits/common/polynomial/polynomial.go:64 PolynomialVector).
+
+    ``mapping[k]`` lists the slot indices that evaluate ``polys[k]``;
+    unmapped slots evaluate to 0. All polynomials must share basis and
+    interval (the power basis is common to every slot); evaluation costs
+    the same as a single polynomial of the maximum degree, with scalar
+    coefficient multiplies replaced by plaintext-vector multiplies.
+    """
+
+    polys: list[Polynomial]
+    mapping: dict[int, list[int]]
+
+    def __post_init__(self):
+        assert len({p.basis for p in self.polys}) == 1, "mixed bases"
+        assert len({p.interval for p in self.polys}) == 1, "mixed intervals"
+        assert all(0 <= k < len(self.polys) for k in self.mapping)
+
+    @property
+    def basis(self) -> str:
+        return self.polys[0].basis
+
+    @property
+    def interval(self) -> tuple[float, float]:
+        return self.polys[0].interval
+
+    @property
+    def degree(self) -> int:
+        return max(p.degree for p in self.polys)
+
+    def factorize(self, n: int):
+        qs, rs = zip(*(p.factorize(n) for p in self.polys))
+        return (PolynomialVector(list(qs), self.mapping),
+                PolynomialVector(list(rs), self.mapping))
+
+    def nonzero_degrees(self) -> list[int]:
+        return sorted({i for p in self.polys
+                       for i, c in enumerate(p.coeffs) if i > 0 and c != 0})
+
+    def coeff_slots(self, i: int, slots: int) -> np.ndarray:
+        """Slot vector of the i-th coefficient of each slot's polynomial."""
+        out = np.zeros(slots, dtype=np.complex128)
+        for k, sl in self.mapping.items():
+            p = self.polys[k]
+            if i <= p.degree and p.coeffs[i] != 0:
+                out[np.asarray(sl, dtype=np.int64)] = complex(p.coeffs[i])
+        return out
+
+    def evaluate_plain(self, x: np.ndarray) -> np.ndarray:
+        """Plaintext recomputation oracle over slot values x."""
+        out = np.zeros(len(x), dtype=np.complex128)
+        for k, sl in self.mapping.items():
+            p = self.polys[k]
+            idx = np.asarray(sl, dtype=np.int64)
+            if p.basis == MONOMIAL:
+                acc = np.zeros(len(idx), dtype=np.complex128)
+                for c in reversed(p.coeffs):
+                    acc = acc * x[idx] + c
+            else:
+                a, b = p.interval
+                u = (2 * x[idx] - (a + b)) / (b - a)
+                t0, t1 = np.ones_like(u), u
+                acc = p.coeffs[0] * t0
+                if p.degree >= 1:
+                    acc = acc + p.coeffs[1] * t1
+                for i in range(2, p.degree + 1):
+                    t0, t1 = t1, 2 * u * t1 - t0
+                    acc = acc + p.coeffs[i] * t1
+            out[idx] = acc
+        return out
+
+
 def chebyshev_approximate(fn, degree: int, interval=(-1.0, 1.0)) -> Polynomial:
     """Chebyshev interpolation at Chebyshev nodes (ref bignum/chebyshev_approximation.go)."""
     a, b = interval
@@ -175,13 +249,18 @@ def simulate(params, level: int, scale, poly: "Polynomial",
 
 
 class PolynomialEvaluator:
-    """P-S evaluation on CKKS ciphertexts (ref polynomial_evaluator.go:23)."""
+    """P-S evaluation on CKKS ciphertexts (ref polynomial_evaluator.go:23).
 
-    def __init__(self, ckks_eval):
+    ``encoder`` is only needed for :class:`PolynomialVector` inputs (slot
+    coefficient vectors are encoded as plaintexts).
+    """
+
+    def __init__(self, ckks_eval, encoder=None):
         self.ev = ckks_eval
         self.params = ckks_eval.params
+        self.encoder = encoder
 
-    def evaluate(self, ct: Ciphertext, poly: Polynomial,
+    def evaluate(self, ct: Ciphertext, poly: Polynomial | PolynomialVector,
                  target_scale: Fraction | None = None) -> Ciphertext:
         p = self.params
         target_scale = (p.default_scale_fraction if target_scale is None
@@ -236,9 +315,10 @@ class PolynomialEvaluator:
         r_ct = self._recurse(pb, r, n1, Fraction(prod.scale))
         return self.ev.add(prod, r_ct.at_level(min(prod.level, r_ct.level)))
 
-    def _eval_baby(self, pb: PowerBasis, poly: Polynomial,
-                   target_scale: Fraction) -> Ciphertext:
+    def _eval_baby(self, pb: PowerBasis, poly, target_scale: Fraction) -> Ciphertext:
         """Σ_i c_i·B_i + c_0 with constants encoded to land at target_scale."""
+        if isinstance(poly, PolynomialVector):
+            return self._eval_baby_vector(pb, poly, target_scale)
         ev = self.ev
         nz = [i for i, c in enumerate(poly.coeffs) if i > 0 and c != 0]
         if not nz:
@@ -260,4 +340,41 @@ class PolynomialEvaluator:
         acc = ev.rescale(acc)
         if poly.coeffs[0]:
             acc = ev.add(acc, poly.coeffs[0])
+        return acc
+
+    def _eval_baby_vector(self, pb: PowerBasis, poly: PolynomialVector,
+                          target_scale: Fraction) -> Ciphertext:
+        """Vector variant: scalar coefficient multiplies become plaintext
+        slot-vector multiplies (ref circuits/ckks/polynomial vector
+        CoefficientGetter path)."""
+        ev = self.ev
+        assert self.encoder is not None, \
+            "PolynomialVector evaluation needs PolynomialEvaluator(ev, encoder)"
+        slots = self.params.max_slots
+        nz = poly.nonzero_degrees()
+        c0 = poly.coeff_slots(0, slots)
+        if not nz:
+            base = pb.powers[1]
+            zero = base.replace(
+                value=base.value * np.uint64(0), scale=target_scale)
+            if np.any(c0):
+                pt = self.encoder.encode(c0, level=zero.level,
+                                         scale=Fraction(zero.scale))
+                return ev.add(zero, pt)
+            return zero
+        lb = min(pb.powers[i].level for i in nz)
+        q_lb = Fraction(self.params.q_moduli[lb])
+        acc = None
+        for i in nz:
+            xi = pb.powers[i].at_level(lb)
+            cs = target_scale * q_lb / Fraction(xi.scale)
+            pt = self.encoder.encode(poly.coeff_slots(i, slots),
+                                     level=lb, scale=cs)
+            term = ev.mul(xi, pt)
+            acc = term if acc is None else ev.add(acc, term)
+        acc = ev.rescale(acc)
+        if np.any(c0):
+            pt = self.encoder.encode(c0, level=acc.level,
+                                     scale=Fraction(acc.scale))
+            acc = ev.add(acc, pt)
         return acc

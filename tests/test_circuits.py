@@ -166,3 +166,24 @@ def test_mod1(mod1_type, degree, int_bound, bound):
     got = np.real(enc.decode(rlwe.Decryptor(params, sk).decrypt(out)))
     err = np.abs(got - frac)
     assert err.max() < bound, f"mod1[{mod1_type}] max err {err.max():.2e}"
+
+
+def test_polynomial_vector(ctx):
+    """Two different polynomials on even/odd slots via PolynomialVector
+    (ref examples/singleparty/ckks_vectorized_polynomial_evaluation)."""
+    from lattigo_tpu.circuits.polynomial import PolynomialVector
+
+    params = ctx["params"]
+    slots = params.max_slots
+    rng = np.random.default_rng(7)
+    v = rng.uniform(-1, 1, slots)
+    p0 = chebyshev_approximate(math.exp, 7, (-1.0, 1.0))
+    p1 = chebyshev_approximate(math.sin, 7, (-1.0, 1.0))
+    pv = PolynomialVector(
+        [p0, p1],
+        {0: list(range(0, slots, 2)), 1: list(range(1, slots, 2))})
+    ct = enc_ct(ctx, v, seed=8)
+    pe = PolynomialEvaluator(ctx["eval"], encoder=ctx["enc"])
+    out = pe.evaluate(ct, pv)
+    want = pv.evaluate_plain(v.astype(np.complex128))
+    ckks.verify_test_vectors(want, dec(ctx, out), min_precision=15.0)
