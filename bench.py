@@ -9,11 +9,12 @@ toolchain — see BASELINE.md). We anchor against an estimate of
 figures; Lattigo's per-NTT cost is essentially independent of prime size
 below 2^61. The north-star target (BASELINE.json) is ≥10x.
 
-The measured path is the production fast path: the fused Pallas u32
-kernel (ring/ntt_pallas.py) that Ring auto-selects for chains of
-< 2^30-bit primes on TPU. RNS chains of such primes are the library's
-recommended TPU parameterisation (more, smaller primes for the same
-logQ — supported by the same parameter machinery, SURVEY.md §7 risk 1).
+The measured path is the production fast path: the four-step MXU kernel
+(ring/ntt_mxu.py, exact integer digit matmuls on the systolic array)
+that Ring auto-selects for chains of < 2^29-bit primes on TPU. RNS
+chains of such primes are the library's recommended TPU parameterisation
+(more, smaller primes for the same logQ — supported by the same
+parameter machinery, SURVEY.md §7 risk 1).
 """
 
 import json
@@ -33,7 +34,7 @@ def main():
     from lattigo_tpu.utils.primes import NTTFriendlyPrimesGenerator
 
     n = 1 << LOG_N
-    q = NTTFriendlyPrimesGenerator(29, 2 * n).next_alternating_prime()
+    q = NTTFriendlyPrimesGenerator(28, 2 * n).next_alternating_prime()
     ring = Ring(n, [q])
 
     key = jax.random.PRNGKey(0)

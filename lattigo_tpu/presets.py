@@ -4,9 +4,9 @@ The logQP budgets follow the homomorphic-encryption.org standard tables for
 ternary secrets at 128-bit security (same budgets as the reference's
 documented example sets); primes are drawn NTT-friendly at construction.
 
-On TPU, chains of < 2^30-bit primes keep every ring op on the fused u32
-Pallas/engine32 fast paths — `bgv_tpu_params` / `ckks_tpu_params` build a
-same-logQP chain from 29-bit primes (more limbs, same security budget;
+On TPU, chains of < 2^29-bit primes keep every ring op on the fused
+MXU/engine32 fast paths — `bgv_tpu_params` / `ckks_tpu_params` build a
+same-logQP chain from 28-bit primes (more limbs, same security budget;
 supported by the same parameter machinery, SURVEY.md §7 risk 1).
 """
 
@@ -86,19 +86,20 @@ CKKS_REAL_PARAMS = [
 
 def bgv_tpu_params(log_n: int, log_qp: int, t: int = T_DEFAULT,
                    log_p_count: int = 2) -> bgv.ParametersLiteral:
-    """Same-logQP BGV budget built from 29-bit primes: every ring op stays
-    on the u32 fast paths (Pallas NTT, engine32 Montgomery, raw-MAC ModUp)."""
-    n_total = log_qp // 29
+    """Same-logQP BGV budget built from 28-bit primes (< 2^29): every ring
+    op stays on the u32 fast paths (four-step MXU NTT, engine32 Montgomery,
+    raw-MAC ModUp)."""
+    n_total = log_qp // 28
     n_p = max(1, log_p_count)
     return bgv.ParametersLiteral(
-        log_n=log_n, log_q=(29,) * (n_total - n_p), log_p=(29,) * n_p, t=t)
+        log_n=log_n, log_q=(28,) * (n_total - n_p), log_p=(28,) * n_p, t=t)
 
 
-def ckks_tpu_params(log_n: int, log_qp: int, log_default_scale: int = 29,
+def ckks_tpu_params(log_n: int, log_qp: int, log_default_scale: int = 28,
                     log_p_count: int = 2) -> ckks.ParametersLiteral:
-    """Same-logQP CKKS budget from 29-bit primes (scale 2^29 per level)."""
-    n_total = log_qp // 29
+    """Same-logQP CKKS budget from 28-bit primes (scale 2^28 per level)."""
+    n_total = log_qp // 28
     n_p = max(1, log_p_count)
     return ckks.ParametersLiteral(
-        log_n=log_n, log_q=(29,) * (n_total - n_p), log_p=(29,) * n_p,
+        log_n=log_n, log_q=(28,) * (n_total - n_p), log_p=(28,) * n_p,
         log_default_scale=log_default_scale)

@@ -22,7 +22,10 @@ flushes (the analog of the reference's QiOverflowMargin cadence).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from lattigo_tpu.ring import modops
@@ -106,6 +109,37 @@ class ModUpConstants:
             # terms < 2^30·2^30 = 2^60: flush cadence for the raw sum
             self.margin_small = max(1, ((1 << 64) - 1) // (1 << 60) - 1)
 
+        # MXU digit-matmul path (all moduli < 2^29): the limb contraction
+        # Σ_i y_i·(qhat_i mod p_j) runs as one exact int8 matmul on the
+        # systolic array (same balanced-digit construction as ntt_mxu.py).
+        # W[(d, i), (s, j)] = digit_s((2^{8d}·qhat_i) mod p_j); the four
+        # i32 digit planes recombine in i64 (|Σ_s P_s·2^{8s}| < Li·2^41)
+        # with one Barrett per output element.
+        # Li >= 6: below that the 4·Li contraction is too skinny for the
+        # 128-deep systolic array to beat the VPU MAC loop (measured).
+        self.mxu = max(src_moduli + dst_moduli) < (1 << 29) and 6 <= Li <= 256
+        if self.mxu:
+            ext = np.zeros((4, Li, Lj), dtype=np.int64)
+            for i, q in enumerate(src_moduli):
+                qh = Q // q
+                for j, p in enumerate(dst_moduli):
+                    for d in range(4):
+                        ext[d, i, j] = ((1 << (8 * d)) * qh) % p
+            # balanced signed base-256 digits of ext (< 2^29)
+            w = np.zeros((4, Li, 4, Lj), dtype=np.int8)  # [d, i, s, j]
+            v = ext
+            for s in range(4):
+                dig = v & 255
+                carry = dig >> 7
+                w[:, :, s, :] = (dig - (carry << 8)).astype(np.int8)
+                v = (v >> 8) + carry
+            assert np.all(v == 0)
+            self.w_mxu = w.reshape(4 * Li, 4 * Lj)
+            # per-output-limb shift to make the signed recombination
+            # non-negative before Barrett: a multiple of p_j ≥ 2^51
+            self.cshift = np.array(
+                [((1 << 51) // p) * p for p in dst_moduli], dtype=_U64)
+
 
 def _overflow_count(y, consts: ModUpConstants, centered: bool):
     """v = floor/round(Σ_i y_i/q_i) via exact 128-bit fixed point.
@@ -133,12 +167,45 @@ def _overflow_count(y, consts: ModUpConstants, centered: bool):
     return v
 
 
+def _mod_up_contract_mxu(y, v, consts: ModUpConstants, dst_q, dst_bhi):
+    """Limb contraction as an exact int8 digit matmul (MXU).
+
+    y: u64[..., Li, N] canonical; v: u64[..., N] overflow count.
+    """
+    Lj = len(consts.dst_moduli)
+    planes = []
+    w = y
+    for _ in range(4):
+        d = w & jnp.uint64(255)
+        c = d >> jnp.uint64(7)
+        w = (w >> jnp.uint64(8)) + c
+        planes.append((d.astype(jnp.int32) - (c << jnp.uint64(8)).astype(jnp.int32))
+                      .astype(jnp.int8))
+    dig = jnp.concatenate(planes, axis=-2)               # [..., 4Li, N] i8
+    p32 = jax.lax.dot_general(
+        dig, jnp.asarray(consts.w_mxu),
+        (((dig.ndim - 2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                # [..., N, 4Lj]
+    p64 = p32.astype(jnp.int64)
+    t = (p64[..., 0 * Lj:1 * Lj]
+         + (p64[..., 1 * Lj:2 * Lj] << 8)
+         + (p64[..., 2 * Lj:3 * Lj] << 16)
+         + (p64[..., 3 * Lj:4 * Lj] << 24))              # [..., N, Lj], |t| < 2^51
+    tu = (t + consts.cshift.astype(np.int64)).astype(jnp.uint64)
+    tu = jnp.moveaxis(tu, -1, -2)                        # [..., Lj, N]
+    acc = tu + v[..., None, :] * consts.qneg_plain[:, None]
+    return modops.bred_add(acc, dst_q, dst_bhi)
+
+
 def mod_up(x, consts: ModUpConstants, dst_q, dst_qinv, dst_bhi, centered: bool = True):
     """Basis-convert x (u64[..., Li, N], coeff domain) to dst basis [..., Lj, N]."""
     y = modops.mred(x, consts.qhatinv, consts.src_q, consts.src_qinv)  # [..., Li, N]
     v = _overflow_count(y, consts, centered)             # [..., N]
 
     Li = len(consts.src_moduli)
+    if (consts.mxu and jax.default_backend() == "tpu"
+            and not os.environ.get("LATTIGO_TPU_NO_MXU_MODUP")):
+        return _mod_up_contract_mxu(y, v, consts, dst_q, dst_bhi)
     if consts.small:
         # raw u64 MAC (terms < 2^60) + one Barrett per output element;
         # v < Li+1 so v·(−Q mod p) is far below the term bound too

@@ -286,11 +286,17 @@ class Ring:
         return self._build_pallas()
 
     def _build_pallas(self):
-        """Fused u32 TPU kernel path, when the chain qualifies (q < 2^30).
+        """Fused TPU kernel path, when the chain qualifies.
 
-        5x+ over the stage-by-stage u64 XLA path: native 32-bit lane math
-        and one HBM round trip instead of logN. Bit-exact with the XLA path
-        (NTT values are canonical). Disable with LATTIGO_TPU_NO_PALLAS=1.
+        Two kernels, picked per (N, chain):
+        - four-step MXU kernel (ntt_mxu.py): butterflies as exact int8/bf16
+          digit matmuls on the systolic array; needs q < 2^29, N >= 4096.
+          Fastest at every qualifying size and the only kernel that fits
+          VMEM at logN=16.
+        - fused u32 VPU kernel (ntt_pallas.py): q < 2^30, N >= 512.
+        Both are 5-10x over the stage-by-stage u64 XLA path and bit-exact
+        with it (NTT values are canonical). Disable with
+        LATTIGO_TPU_NO_PALLAS=1 (both) / LATTIGO_TPU_NO_MXU=1 (MXU only).
         """
         import os
         import jax
@@ -298,12 +304,36 @@ class Ring:
             return None
         if self.ring_type != STANDARD or self.n < 512:
             return None
-        if any(q >= (1 << 30) for q in self.moduli):
-            return None
         if jax.default_backend() != "tpu":
             return None
-        from lattigo_tpu.ring.ntt_pallas import NTTPallas
-        return NTTPallas(self.n, self.moduli, [s.psi for s in self.subrings])
+        psis = [s.psi for s in self.subrings]
+        from lattigo_tpu.ring import ntt_mxu
+        if (not os.environ.get("LATTIGO_TPU_NO_MXU")
+                and self.n >= ntt_mxu.MIN_N
+                and all(q < (1 << ntt_mxu.MAX_Q_BITS) for q in self.moduli)):
+            import jax.numpy as jnp
+            # empirically tuned on a v5-class chip (see bench.py history):
+            # (digit dtype, polys per grid step) per logN
+            tuned = {12: (jnp.int8, 8), 13: (jnp.int8, 8),
+                     14: (jnp.bfloat16, 8), 15: (jnp.int8, 8),
+                     16: (jnp.bfloat16, 4)}
+            dtype, tb = tuned.get(self.log_n, (jnp.bfloat16, 4))
+            return ntt_mxu.NTTMxu(self.n, self.moduli, psis,
+                                  dtype=dtype, tb=tb)
+        if (all(q < (1 << 30) for q in self.moduli) and self.n <= (1 << 15)):
+            # u32 VPU kernel: q < 2^30; its VMEM working set overflows at
+            # logN=16, where the MXU kernels take over
+            from lattigo_tpu.ring.ntt_pallas import NTTPallas
+            return NTTPallas(self.n, self.moduli, psis)
+        if (not os.environ.get("LATTIGO_TPU_NO_MXU")
+                and self.n >= 4096
+                and all(q < (1 << 61) for q in self.moduli)):
+            # full-width primes: four-step int8 digit matmuls at the XLA
+            # level — 1.8x/3x/5.5x over the stage-by-stage u64 path at
+            # logN=14/15/16 (and the only fast path at logN=16)
+            from lattigo_tpu.ring.ntt_u64_mxu import NTTMxu64
+            return NTTMxu64(self.n, self.moduli, psis)
+        return None
 
     def ntt(self, a, level: int | None = None, lazy: bool = False):
         l = self._lvl(level) + 1

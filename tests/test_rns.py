@@ -204,3 +204,31 @@ def test_keyed_prng_deterministic(rings):
     c = sampling.KeyedPRNG(b"other").uniform_poly(ring)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_mod_up_mxu_contraction_bit_exact():
+    """The int8 digit-matmul ModUp contraction (MXU path) matches the u64
+    MAC path exactly, centered and floor."""
+    from lattigo_tpu.ring import basis_extension as be
+    from lattigo_tpu.ring import modops
+    from lattigo_tpu.utils.primes import generate_ntt_primes
+
+    n = 256
+    src = generate_ntt_primes(28, 2 * n, 6)
+    dst = generate_ntt_primes(27, 2 * n, 9)
+    consts = be.ModUpConstants(src, dst)
+    assert consts.mxu
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.stack(
+        [rng.integers(0, q, (3, n)) for q in src], axis=-2).astype(np.uint64))
+    dst_q = np.array(dst, np.uint64)[:, None]
+    dst_qinv = np.array(
+        [modops.gen_mred_constant(q) for q in dst], np.uint64)[:, None]
+    bh = np.array(
+        [modops.gen_bred_constant(q)[0] for q in dst], np.uint64)[:, None]
+    for centered in (True, False):
+        want = np.asarray(be.mod_up(x, consts, dst_q, dst_qinv, bh, centered))
+        y = modops.mred(x, consts.qhatinv, consts.src_q, consts.src_qinv)
+        v = be._overflow_count(y, consts, centered)
+        got = np.asarray(be._mod_up_contract_mxu(y, v, consts, dst_q, bh))
+        np.testing.assert_array_equal(got, want)
