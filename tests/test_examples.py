@@ -65,3 +65,7 @@ def test_ckks_bootstrapping():
 
 def test_ckks_vectorized_polynomial_evaluation():
     _run("ckks_vectorized_polynomial_evaluation")
+
+
+def test_ckks_bootstrapping_high_precision():
+    _run("ckks_bootstrapping_high_precision")
