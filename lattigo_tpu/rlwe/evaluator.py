@@ -213,6 +213,15 @@ class Evaluator:
     def rotate_columns(self, ct: Ciphertext, k: int) -> Ciphertext:
         return self.automorphism(ct, self.params.galois_element(k))
 
+    def rotate_columns_hoisted(self, ct: Ciphertext,
+                               ks: list[int]) -> dict[int, Ciphertext]:
+        """Rotate by every k in ks reusing ONE gadget decomposition of c1
+        (ref schemes/ckks/evaluator.go:1228 RotateHoisted): the decompose
+        (INTT + ModUp + NTT per digit) amortizes across all rotations."""
+        digits = self.decompose_ntt(ct.value[..., 1, :, :], ct.level)
+        return {k: self.automorphism_hoisted(
+            ct, digits, self.params.galois_element(k)) for k in ks}
+
     # -- trace / inner sum --------------------------------------------------------------------
 
     def trace(self, ct: Ciphertext, log_n_start: int) -> Ciphertext:

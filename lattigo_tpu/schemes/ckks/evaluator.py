@@ -247,6 +247,30 @@ class Evaluator(RlweEvaluator):
     def mul_relin(self, ct0: Ciphertext, op1) -> Ciphertext:
         return self.mul(ct0, op1, relin=True)
 
+    def mul_then_add(self, ct0: Ciphertext, op1, acc: Ciphertext) -> Ciphertext:
+        """acc + ct0·op1 (ref mulRelinThenAdd:1081 — fusion is XLA's job
+        here; the method exists for API parity and scale-match checking)."""
+        return self.add(acc, self.mul(ct0, op1))
+
+    def mul_relin_then_add(self, ct0: Ciphertext, op1,
+                           acc: Ciphertext) -> Ciphertext:
+        return self.add(acc, self.mul(ct0, op1, relin=True))
+
+    def drop_level(self, ct: Ciphertext, levels: int = 1) -> Ciphertext:
+        """Discard the top `levels` moduli without scaling (ref DropLevel)."""
+        return ct.at_level(ct.level - levels)
+
+    def rotate_and_add(self, ct: Ciphertext, batch: int, n: int) -> Ciphertext:
+        """Σ_{i<n} rot(ct, i·batch) (ref evaluator.go:1315 RotateAndAdd —
+        same log-depth ladder as InnerSum)."""
+        return self.inner_sum(ct, batch, n)
+
+    def rotate_hoisted(self, ct: Ciphertext,
+                       ks: list[int]) -> dict[int, Ciphertext]:
+        """Slot rotations by every k in ks, one shared decomposition
+        (ref RotateHoisted:1228)."""
+        return self.rotate_columns_hoisted(ct, ks)
+
     # -- rescaling -------------------------------------------------------------------------
 
     def rescale(self, ct: Ciphertext) -> Ciphertext:

@@ -36,3 +36,37 @@ def test_inner_sum_and_replicate_non_pow2():
     got2 = np.real(enc.decode(rlwe.Decryptor(params, sk).decrypt(out2)))
     want2 = sum(np.roll(v, i * batch) for i in range(n))
     ckks.verify_test_vectors(want2, got2, min_precision=20.0)
+
+
+def test_rotate_hoisted_and_mul_then_add():
+    """rotate_hoisted shares one decomposition across many rotations;
+    mul[_relin]_then_add parity wrappers."""
+    params = ckks.Parameters(ckks.ParametersLiteral(
+        log_n=9, log_q=(50, 40, 40), log_p=(55,), log_default_scale=40))
+    kgen = rlwe.KeyGenerator(params)
+    k_sk, k_rlk, k_gk, k_ct = jax.random.split(jax.random.PRNGKey(0), 4)
+    sk = kgen.gen_secret_key(k_sk)
+    rlk = kgen.gen_relinearization_key(k_rlk, sk)
+    enc = ckks.Encoder(params)
+    ks = [1, 3, 7]
+    gks = kgen.gen_galois_keys(
+        k_gk, [params.galois_element(k) for k in ks], sk)
+    ev = ckks.Evaluator(params, rlwe.EvaluationKeySet(
+        relinearization_key=rlk, galois_keys=gks))
+
+    slots = params.max_slots
+    rng = np.random.default_rng(2)
+    v = rng.uniform(-1, 1, slots)
+    ct = rlwe.Encryptor(params, sk).encrypt(k_ct, enc.encode(v))
+    dec = rlwe.Decryptor(params, sk)
+
+    rots = ev.rotate_hoisted(ct, ks)
+    for k in ks:
+        got = np.real(enc.decode(dec.decrypt(rots[k])))
+        ckks.verify_test_vectors(np.roll(v, -k), got, min_precision=20.0)
+
+    acc = ev.mul_relin_then_add(ct, ct, ev.mul_relin(ct, ct))
+    got = np.real(enc.decode(dec.decrypt(ev.rescale(acc))))
+    ckks.verify_test_vectors(2 * v * v, got, min_precision=18.0)
+
+    assert ev.drop_level(ct, 1).level == ct.level - 1
