@@ -93,7 +93,9 @@ class BootstrappingEvaluator:
             degree = max(degree, 2 * m1.k - 1)  # ref parameters_literal Depth()
         r = 0 if m1.mod1_type == SIN_CONTINUOUS else m1.double_angle
         poly_depth = max(2, degree.bit_length() + 1)
-        return 1 + poly_depth + r
+        arcsine = (max(2, m1.arcsine_degree.bit_length() + 1)
+                   if m1.arcsine_degree > 0 else 0)
+        return 1 + poly_depth + r + arcsine
 
     def with_evaluator(self, ckks_eval) -> "BootstrappingEvaluator":
         self.ev = ckks_eval

@@ -1,0 +1,189 @@
+"""Published default CKKS bootstrapping parameter sets.
+
+Transcription of the reference's 4 sparse + 4 dense default sets
+(ref circuits/ckks/bootstrapping/default_parameters.go:20-196, ia.cr/2022/024
+sparse-secret encapsulation) into this library's parameterization, plus the
+builder that stitches the *residual* parameters and the bootstrapping
+literal into the full modulus chain (ref bootstrapping/parameters.go:51
+NewParametersFromLiteral).
+
+Chain layout (bottom -> top), as consumed by
+:class:`~lattigo_tpu.circuits.bootstrapping.BootstrappingEvaluator`:
+
+    q0 | residual levels | SlotsToCoeffs | EvalMod | CoeffsToSlots
+
+Deviations from the reference:
+
+* factorization entries holding several scales (e.g. ``{30, 30}`` — one
+  matrix rescaled by two 30-bit primes) become a single prime of the summed
+  bit size, since the evaluator consumes one prime per linear-transform
+  level; per-stage scales are unchanged.
+* this evaluator currently spends two extra EvalMod levels (an explicit
+  interval-map level and the Paterson-Stockmeyer final product) and one
+  extra C2S level (conjugation split), so the assembled logQP runs ~10-20%
+  above the reference's named budget. At the same logN that shrinks the
+  security margin accordingly — callers holding a hard 128-bit requirement
+  should drop residual levels to compensate until the depth accounting is
+  tightened.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from lattigo_tpu.circuits.bootstrapping import (
+    BootstrappingEvaluator, BootstrappingParameters,
+)
+from lattigo_tpu.circuits.mod1 import COS_DISCRETE, Mod1Parameters
+from lattigo_tpu.ring.sampling import Ternary
+from lattigo_tpu.schemes import ckks
+
+
+@dataclass
+class BootstrappingLiteral:
+    """All-optional bootstrapping literal (ref parameters_literal.go:15).
+
+    ``s2c_log_scales`` / ``c2s_log_scales``: one inner list per
+    linear-transform level, holding the log2 scales consumed by that level
+    (ref SlotsToCoeffs/CoeffsToSlotsFactorizationDepthAndLogScales).
+    """
+
+    c2s_log_scales: list[list[int]] = field(
+        default_factory=lambda: [[56], [56], [56], [56]])
+    s2c_log_scales: list[list[int]] = field(
+        default_factory=lambda: [[39], [39], [39]])
+    evalmod_log_scale: int = 60
+    log_message_ratio: int = 8
+    mod1_k: int = 16
+    mod1_degree: int = 30
+    mod1_double_angle: int = 3
+    mod1_type: str = COS_DISCRETE
+    mod1_inv_degree: int = 0
+    ephemeral_secret_weight: int | None = 32
+
+
+def _radix_split(log_slots: int, n_levels: int) -> list[int]:
+    """Split log_slots into n_levels radix factors, largest first
+    (ref dft.go:163 NewMatrixFromLiteral level allocation)."""
+    base, rem = divmod(log_slots, n_levels)
+    return [base + (1 if i < rem else 0) for i in range(n_levels)]
+
+
+def build_bootstrapping_parameters(
+    residual: ckks.ParametersLiteral,
+    lit: BootstrappingLiteral | None = None,
+) -> tuple[ckks.ParametersLiteral, BootstrappingParameters]:
+    """(full-chain CKKS literal, evaluator parameters) from residual params
+    + bootstrapping literal (ref bootstrapping/parameters.go:51)."""
+    lit = BootstrappingLiteral() if lit is None else lit
+    mod1 = Mod1Parameters(
+        k=lit.mod1_k, degree=lit.mod1_degree,
+        double_angle=lit.mod1_double_angle,
+        log_message_ratio=lit.log_message_ratio,
+        arcsine_degree=lit.mod1_inv_degree,
+        mod1_type=lit.mod1_type)
+    n_evalmod = BootstrappingEvaluator._mod1_depth(mod1)
+    s2c = [sum(level) for level in lit.s2c_log_scales]
+    c2s = [sum(level) for level in lit.c2s_log_scales]
+    # +1 prime above the C2S matrices: the evaluator spends one level on the
+    # 0.5 conjugation-split constant mul at the end of coeffs_to_slots
+    log_q = (tuple(residual.log_q) + tuple(s2c)
+             + (lit.evalmod_log_scale,) * n_evalmod + tuple(c2s)
+             + (c2s[-1],))
+    full = replace(residual, log_q=log_q)
+
+    log_slots = residual.log_n - 1  # full-slot bootstrapping
+    btp = BootstrappingParameters(
+        c2s_levels=_radix_split(log_slots, len(c2s)),
+        s2c_levels=_radix_split(log_slots, len(s2c)),
+        mod1=mod1,
+        residual_levels=len(residual.log_q) - 1,
+        ephemeral_secret_weight=lit.ephemeral_secret_weight,
+    )
+    return full, btp
+
+
+# -- the 8 published sets (ref default_parameters.go:20-196) -----------------
+# name -> (residual ckks literal, bootstrapping literal)
+
+# Sparse main secret H=192 (+ H=32 ephemeral).
+N16QP1546_H192_H32 = (
+    ckks.ParametersLiteral(
+        log_n=16, log_q=(60,) + (40,) * 9, log_p=(61,) * 5,
+        xs=Ternary(hamming_weight=192), log_default_scale=40),
+    BootstrappingLiteral(),                       # 26.6 bits @ 2^15 slots
+)
+N16QP1547_H192_H32 = (
+    ckks.ParametersLiteral(
+        log_n=16, log_q=(60,) + (45,) * 5, log_p=(61,) * 4,
+        xs=Ternary(hamming_weight=192), log_default_scale=45),
+    BootstrappingLiteral(                         # 32.1 bits @ 2^15 slots
+        s2c_log_scales=[[42], [42], [42]],
+        c2s_log_scales=[[58], [58], [58], [58]],
+        log_message_ratio=2, mod1_inv_degree=7),
+)
+N16QP1553_H192_H32 = (
+    ckks.ParametersLiteral(
+        log_n=16, log_q=(55,) + (60,) * 7, log_p=(61,) * 5,
+        xs=Ternary(hamming_weight=192), log_default_scale=30),
+    BootstrappingLiteral(                         # 19.1 bits @ 2^15 slots
+        s2c_log_scales=[[30], [30, 30]],
+        c2s_log_scales=[[53], [53], [53], [53]],
+        evalmod_log_scale=55),
+)
+N15QP768_H192_H32 = (
+    ckks.ParametersLiteral(
+        log_n=15, log_q=(33, 50, 25), log_p=(51,) * 2,
+        xs=Ternary(hamming_weight=192), log_default_scale=25),
+    BootstrappingLiteral(                         # 15.4 bits @ 2^14 slots
+        s2c_log_scales=[[30, 30]],
+        c2s_log_scales=[[49], [49]],
+        evalmod_log_scale=50),
+)
+
+# Dense main secret H=N/2 (+ H=32 ephemeral).
+N16QP1767_H32768_H32 = (
+    ckks.ParametersLiteral(
+        log_n=16, log_q=(60,) + (40,) * 13, log_p=(61,) * 6,
+        xs=Ternary(hamming_weight=32768), log_default_scale=40),
+    BootstrappingLiteral(                         # 23.8 bits @ 2^15 slots
+        s2c_log_scales=[[39], [39], [39]],
+        c2s_log_scales=[[56], [56], [56], [56]],
+        evalmod_log_scale=60),
+)
+N16QP1788_H32768_H32 = (
+    ckks.ParametersLiteral(
+        log_n=16, log_q=(60,) + (45,) * 9, log_p=(61,) * 5,
+        xs=Ternary(hamming_weight=32768), log_default_scale=45),
+    BootstrappingLiteral(                         # 29.8 bits @ 2^15 slots
+        s2c_log_scales=[[42], [42], [42]],
+        c2s_log_scales=[[58], [58], [58], [58]],
+        log_message_ratio=2, mod1_inv_degree=7),
+)
+N16QP1793_H32768_H32 = (
+    ckks.ParametersLiteral(
+        log_n=16, log_q=(55,) + (60,) * 11 + (60, 30), log_p=(61,) * 5,
+        xs=Ternary(hamming_weight=32768), log_default_scale=30),
+    BootstrappingLiteral(                         # 17.8 bits @ 2^15 slots
+        s2c_log_scales=[[30], [30, 30]],
+        c2s_log_scales=[[53], [53], [53], [53]],
+        evalmod_log_scale=55),
+)
+N15QP880_H16384_H32 = (
+    ckks.ParametersLiteral(
+        log_n=15, log_q=(40,) + (31,) * 4, log_p=(56,) * 2,
+        xs=Ternary(hamming_weight=16384), log_default_scale=31),
+    BootstrappingLiteral(                         # 17.3 bits @ 2^14 slots
+        s2c_log_scales=[[30, 30]],
+        c2s_log_scales=[[52], [52]],
+        evalmod_log_scale=55),
+)
+
+DEFAULT_PARAMETERS_SPARSE = [
+    N16QP1546_H192_H32, N16QP1547_H192_H32, N16QP1553_H192_H32,
+    N15QP768_H192_H32,
+]
+DEFAULT_PARAMETERS_DENSE = [
+    N16QP1767_H32768_H32, N16QP1788_H32768_H32, N16QP1793_H32768_H32,
+    N15QP880_H16384_H32,
+]
