@@ -1,0 +1,93 @@
+"""Secondary benchmark: full CKKS bootstrap wall time on one TPU chip.
+
+Not the driver headline (see bench.py). Prints one JSON line per run:
+  {"metric": "ckks_bootstrap_logN<k>", "compile_s", "value" (s/bootstrap),
+   "slots", "precision_bits"}
+
+Usage: python bench_bootstrap.py [log_n] [batch]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+
+from lattigo_tpu import rlwe
+from lattigo_tpu.schemes import ckks
+from lattigo_tpu.circuits import bootstrapping as bts
+from lattigo_tpu.circuits import bootstrapping_presets as bp
+
+
+def main(log_n: int = 13, batch: int = 1):
+    residual = ckks.ParametersLiteral(
+        log_n=log_n,
+        log_q=(55, 45, 45, 45),
+        log_p=(60, 60),
+        log_default_scale=45,
+    )
+    lit = bp.BootstrappingLiteral(
+        c2s_log_scales=[[56], [56], [56]],
+        s2c_log_scales=[[39], [39], [39]],
+        evalmod_log_scale=60,
+        ephemeral_secret_weight=None,
+    )
+    full, btp = bp.build_bootstrapping_parameters(residual, lit)
+    params = ckks.Parameters(full)
+    print(f"logN={log_n} chain: {len(full.log_q)} limbs Q "
+          f"(logQP={sum(full.log_q) + sum(full.log_p)})", file=sys.stderr)
+
+    t = time.time()
+    kgen = rlwe.KeyGenerator(params)
+    k_sk, k_rlk, k_gk, k_ct = jax.random.split(jax.random.PRNGKey(0), 4)
+    sk = kgen.gen_secret_key(k_sk)
+    rlk = kgen.gen_relinearization_key(k_rlk, sk)
+    enc = ckks.Encoder(params)
+    ev0 = ckks.Evaluator(params, rlwe.EvaluationKeySet(relinearization_key=rlk))
+    b = bts.BootstrappingEvaluator(params, ev0, enc, btp)
+    print(f"[{time.time()-t:.1f}s] params+evaluator built", file=sys.stderr, flush=True)
+    t = time.time()
+    gks = kgen.gen_galois_keys(k_gk, b.galois_elements(), sk)
+    ev = ckks.Evaluator(params, rlwe.EvaluationKeySet(
+        relinearization_key=rlk, galois_keys=gks))
+    b.with_evaluator(ev)
+    print(f"[{time.time()-t:.1f}s] {len(b.galois_elements())} galois keys",
+          file=sys.stderr, flush=True)
+
+    rng = np.random.default_rng(1)
+    v = rng.uniform(-1, 1, params.max_slots) + 1j * rng.uniform(-1, 1, params.max_slots)
+    shape = (batch,) if batch > 1 else ()
+    ct = rlwe.Encryptor(params, sk).encrypt(k_ct, enc.encode(v), batch=shape)
+    ct = ct.at_level(b.minimum_input_level)
+
+    t0 = time.time()
+    fn = b.jitted(ct)
+    out = fn(ct)
+    jax.block_until_ready(out.value)
+    compile_s = time.time() - t0
+
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(ct)
+    jax.block_until_ready(out.value)
+    per = (time.time() - t0) / iters / max(batch, 1)
+
+    from lattigo_tpu.rlwe.elements import Ciphertext
+    out0 = out if batch == 1 else Ciphertext(
+        value=out.value[0], is_ntt=out.is_ntt, scale=out.scale)
+    got = enc.decode(rlwe.Decryptor(params, sk).decrypt(out0))
+    err = float(np.abs(got - v).max())
+    prec = float(-np.log2(err)) if err > 0 else 60.0
+    print(json.dumps({
+        "metric": f"ckks_bootstrap_logN{log_n}",
+        "value": round(per, 4), "unit": "s/bootstrap", "batch": batch,
+        "compile_s": round(compile_s, 1), "slots": params.max_slots,
+        "precision_bits": round(prec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(int(a[0]) if a else 13, int(a[1]) if len(a) > 1 else 1)

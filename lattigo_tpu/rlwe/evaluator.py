@@ -255,30 +255,40 @@ class Evaluator:
             els.append(p.galois_element_order_two)
         return els
 
-    def inner_sum(self, ct: Ciphertext, batch: int, n: int) -> Ciphertext:
-        """Σ_{i<n} rot(ct, i·batch), log-depth, any n (ref inner_sum.go:317).
+    def inner_function(self, ct: Ciphertext, batch: int, n: int,
+                       f) -> Ciphertext:
+        """Log-depth rotate-and-combine with a user combine ``f(a, b) → ct``
+        (ref inner_sum.go:317 InnerFunction): f-fold of rot(ct, i·batch)
+        for i < n. ``f`` must be associative-compatible with rotation
+        (e.g. homomorphic add, mul-relin for products, max for maxima).
 
-        Binary decomposition: doubling ladders build Σ_{i<2^j}, and each set
-        bit of n contributes its ladder rotated past the lower blocks.
+        Binary decomposition: doubling ladders build the fold over 2^j
+        elements, and each set bit of n contributes its ladder rotated past
+        the lower blocks.
         """
-        level = ct.level
-        rq = self.params.ring_q
         acc = None
-        cur = ct          # Σ_{i<m} rot(ct, i·batch)
+        cur = ct          # fold over {rot(ct, i·batch) : i < m}
         m = 1
         pos = 0           # Σ of lower set bits (block offset)
         while m <= n:
             if n & m:
                 part = cur if pos == 0 else self.rotate_columns(cur, pos * batch)
-                acc = part if acc is None else acc.replace(
-                    value=rq.add(acc.value, part.value, level))
+                acc = part if acc is None else f(acc, part)
                 pos += m
             m <<= 1
             if m <= n:
-                cur = cur.replace(value=rq.add(
-                    cur.value,
-                    self.rotate_columns(cur, (m >> 1) * batch).value, level))
+                cur = f(cur, self.rotate_columns(cur, (m >> 1) * batch))
         return acc
+
+    def inner_sum(self, ct: Ciphertext, batch: int, n: int) -> Ciphertext:
+        """Σ_{i<n} rot(ct, i·batch), log-depth, any n (ref inner_sum.go:317):
+        :meth:`inner_function` with homomorphic addition as the combine."""
+        rq = self.params.ring_q
+
+        def add(a: Ciphertext, b: Ciphertext) -> Ciphertext:
+            return a.replace(value=rq.add(a.value, b.value, a.level))
+
+        return self.inner_function(ct, batch, n, add)
 
     def replicate(self, ct: Ciphertext, batch: int, n: int) -> Ciphertext:
         """Replicate each batch block n times leftward: InnerSum with the

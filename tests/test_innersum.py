@@ -70,3 +70,37 @@ def test_rotate_hoisted_and_mul_then_add():
     ckks.verify_test_vectors(2 * v * v, got, min_precision=18.0)
 
     assert ev.drop_level(ct, 1).level == ct.level - 1
+
+
+def test_inner_function_product_fold():
+    """inner_function with a mul-relin-rescale combine computes the slotwise
+    product of n rotated copies (ref inner_sum.go:317 InnerFunction)."""
+    params = ckks.Parameters(ckks.ParametersLiteral(
+        log_n=9, log_q=(50, 40, 40, 40), log_p=(55,), log_default_scale=40))
+    kgen = rlwe.KeyGenerator(params)
+    k_sk, k_rlk, k_gk, k_ct = jax.random.split(jax.random.PRNGKey(0), 4)
+    sk = kgen.gen_secret_key(k_sk)
+    rlk = kgen.gen_relinearization_key(k_rlk, sk)
+    enc = ckks.Encoder(params)
+
+    batch, n = 1, 4
+    ev0 = ckks.Evaluator(params)
+    gks = kgen.gen_galois_keys(
+        k_gk, ev0.galois_elements_for_inner_sum(batch, n), sk)
+    ev = ckks.Evaluator(params, rlwe.EvaluationKeySet(
+        relinearization_key=rlk, galois_keys=gks))
+
+    slots = params.max_slots
+    rng = np.random.default_rng(2)
+    v = rng.uniform(0.5, 1.5, slots)
+    ct = rlwe.Encryptor(params, sk).encrypt(k_ct, enc.encode(v))
+
+    def mul(a, b):
+        return ev.rescale(ev.mul_relin(a, b))
+
+    out = ev.inner_function(ct, batch, n, mul)
+    got = np.real(enc.decode(rlwe.Decryptor(params, sk).decrypt(out)))
+    want = np.ones_like(v)
+    for i in range(n):
+        want = want * np.roll(v, -i * batch)
+    ckks.verify_test_vectors(want, got, min_precision=15.0)
