@@ -5,6 +5,9 @@ Not the driver headline (see bench.py). Prints one JSON line per run:
    "slots", "precision_bits"}
 
 Usage: python bench_bootstrap.py [log_n] [batch]
+       python bench_bootstrap.py --preset NAME [batch]   (published set,
+           e.g. N15QP768_H192_H32, N16QP1546_H192_H32; see
+           lattigo_tpu/circuits/bootstrapping_presets.py)
 """
 
 import json
@@ -20,19 +23,23 @@ from lattigo_tpu.circuits import bootstrapping as bts
 from lattigo_tpu.circuits import bootstrapping_presets as bp
 
 
-def main(log_n: int = 13, batch: int = 1):
-    residual = ckks.ParametersLiteral(
-        log_n=log_n,
-        log_q=(55, 45, 45, 45),
-        log_p=(60, 60),
-        log_default_scale=45,
-    )
-    lit = bp.BootstrappingLiteral(
-        c2s_log_scales=[[56], [56], [56]],
-        s2c_log_scales=[[39], [39], [39]],
-        evalmod_log_scale=60,
-        ephemeral_secret_weight=None,
-    )
+def main(log_n: int = 13, batch: int = 1, preset: str | None = None):
+    if preset is not None:
+        residual, lit = getattr(bp, preset)
+        log_n = residual.log_n
+    else:
+        residual = ckks.ParametersLiteral(
+            log_n=log_n,
+            log_q=(55, 45, 45, 45),
+            log_p=(60, 60),
+            log_default_scale=45,
+        )
+        lit = bp.BootstrappingLiteral(
+            c2s_log_scales=[[56], [56], [56]],
+            s2c_log_scales=[[39], [39], [39]],
+            evalmod_log_scale=60,
+            ephemeral_secret_weight=None,
+        )
     full, btp = bp.build_bootstrapping_parameters(residual, lit)
     params = ckks.Parameters(full)
     print(f"logN={log_n} chain: {len(full.log_q)} limbs Q "
@@ -81,7 +88,7 @@ def main(log_n: int = 13, batch: int = 1):
     err = float(np.abs(got - v).max())
     prec = float(-np.log2(err)) if err > 0 else 60.0
     print(json.dumps({
-        "metric": f"ckks_bootstrap_logN{log_n}",
+        "metric": f"ckks_bootstrap_{preset or f'logN{log_n}'}",
         "value": round(per, 4), "unit": "s/bootstrap", "batch": batch,
         "compile_s": round(compile_s, 1), "slots": params.max_slots,
         "precision_bits": round(prec, 1),
@@ -90,4 +97,7 @@ def main(log_n: int = 13, batch: int = 1):
 
 if __name__ == "__main__":
     a = sys.argv[1:]
-    main(int(a[0]) if a else 13, int(a[1]) if len(a) > 1 else 1)
+    if a and a[0] == "--preset":
+        main(batch=int(a[2]) if len(a) > 2 else 1, preset=a[1])
+    else:
+        main(int(a[0]) if a else 13, int(a[1]) if len(a) > 1 else 1)

@@ -18,6 +18,8 @@ Scale plumbing (all static, resolved at trace time):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+
+from flax import struct
 from fractions import Fraction
 
 import numpy as np
@@ -43,9 +45,10 @@ class BootstrappingParameters:
     ephemeral_secret_weight: int | None = None
 
 
-@dataclass
+@struct.dataclass
 class BootstrappingKeys:
-    """Encapsulation key pair (ref bootstrapping/keys.go:15)."""
+    """Encapsulation key pair (ref bootstrapping/keys.go:15). A pytree so
+    it can cross jit boundaries as an argument."""
 
     evk_dense_to_sparse: object = None   # rlwe.EvaluationKey
     evk_sparse_to_dense: object = None
@@ -61,10 +64,10 @@ class BootstrappingEvaluator:
         self.btp = bts_params
 
         L = params.max_level
-        # C2S consumes one matrix level per entry plus one for the 0.5
-        # conjugation-split constant mul+rescale at the end of
-        # coeffs_to_slots.
-        n_c2s = len(bts_params.c2s_levels) + 1
+        # C2S consumes exactly one matrix level per entry: the 0.5
+        # conjugation split is a free scale-metadata change (see
+        # DFTEvaluator.coeffs_to_slots), matching the reference budget.
+        n_c2s = len(bts_params.c2s_levels)
         n_s2c = len(bts_params.s2c_levels)
         mod1_depth = self._mod1_depth(bts_params.mod1)
         # level layout (top to bottom): C2S | EvalMod | S2C | residual | q0
@@ -75,27 +78,38 @@ class BootstrappingEvaluator:
             f"modulus chain too short: need ≥ "
             f"{n_c2s + mod1_depth + n_s2c + bts_params.residual_levels + 1} levels")
 
+        # fold BOTH free constants into the last C2S matrix: the 0.5 of the
+        # conjugation split and EvalMod's interval map 2^r/K (resp. 1/K)
+        # (ref bootstrapping/evaluator.go:190 C2SScaling = qDiv/(K·qDiff))
+        m1 = bts_params.mod1
+        from lattigo_tpu.circuits.mod1 import COS_DISCRETE
+        in_const = (m1.sc_fac / m1.k if m1.mod1_type == COS_DISCRETE
+                    else 1.0 / m1.k)
         self.dft = dft_mod.DFTEvaluator(
             params, ckks_eval, encoder,
             c2s_levels=bts_params.c2s_levels,
             s2c_levels=bts_params.s2c_levels,
             level_q_c2s=self.level_c2s_top,
-            level_q_s2c=self.level_s2c_top)
+            level_q_s2c=self.level_s2c_top,
+            c2s_scaling=0.5 * in_const)
         self.mod1 = Mod1Evaluator(ckks_eval, bts_params.mod1)
 
     @staticmethod
     def _mod1_depth(m1: Mod1Parameters) -> int:
-        # map-to-interval (1) + Paterson-Stockmeyer (giant chain + final
-        # product, bit_length+1) + double-angle squarings (r)
+        # Paterson-Stockmeyer (exactly bit_length(degree) levels) +
+        # double-angle squarings (r) + optional arcsine — matching the
+        # reference budget exactly (ref mod1_parameters.go:57 Depth():
+        # the interval map is a free scale-metadata change and P-S is
+        # depth-exact since the recursePS rewrite).
         from lattigo_tpu.circuits.mod1 import COS_DISCRETE, SIN_CONTINUOUS
         degree = m1.degree
         if m1.mod1_type == COS_DISCRETE:
             degree = max(degree, 2 * m1.k - 1)  # ref parameters_literal Depth()
         r = 0 if m1.mod1_type == SIN_CONTINUOUS else m1.double_angle
-        poly_depth = max(2, degree.bit_length() + 1)
-        arcsine = (max(2, m1.arcsine_degree.bit_length() + 1)
+        poly_depth = max(1, degree.bit_length())
+        arcsine = (max(1, m1.arcsine_degree.bit_length())
                    if m1.arcsine_degree > 0 else 0)
-        return 1 + poly_depth + r + arcsine
+        return poly_depth + r + arcsine
 
     def with_evaluator(self, ckks_eval) -> "BootstrappingEvaluator":
         self.ev = ckks_eval
@@ -189,8 +203,8 @@ class BootstrappingEvaluator:
         if keys is not None and keys.evk_sparse_to_dense is not None:
             up = ev.apply_evaluation_key(up, keys.evk_sparse_to_dense)
         ct_re, ct_im = self.dft.coeffs_to_slots(up)
-        ct_re = self.mod1.evaluate(ct_re)
-        ct_im = self.mod1.evaluate(ct_im)
+        ct_re = self.mod1.evaluate(ct_re, pre_mapped=True)
+        ct_im = self.mod1.evaluate(ct_im, pre_mapped=True)
         out = self.dft.slots_to_coeffs(ct_re, ct_im)
         # undo the q0 relabel: poly = Δ'·m/q0 → scale = Δ'·Δ₀/q0
         return out.replace(scale=Fraction(out.scale) * delta0 / q0)
@@ -232,34 +246,144 @@ class BootstrappingEvaluator:
         return [self.bootstrap(c, keys) for c in cts]
 
     def jitted(self, example: Ciphertext,
-               keys: BootstrappingKeys | None = None):
-        """One XLA program for the FULL pipeline: returns f(ct) → ct with
-        everything from ScaleDown to SlotsToCoeffs fused under a single
-        ``jax.jit`` (metadata — scales, levels — is static, captured from
-        ``example``). Batch axes on ``example`` carry through, making
-        ``BootstrapMany`` a leading batch dimension instead of a loop.
+               keys: BootstrappingKeys | None = None,
+               split: bool = True):
+        """Compiled pipeline: returns f(ct) → ct (metadata — scales,
+        levels — is static, captured from ``example``). Batch axes on
+        ``example`` carry through, making ``BootstrapMany`` a leading
+        batch dimension instead of a loop.
+
+        With ``split`` (default) each stage — ScaleDown+ModUp, C2S,
+        EvalMod, S2C — compiles as its own XLA program (EvalMod is one
+        program reused for the real and imaginary halves): a monolithic
+        program for the full pipeline is several tens of MB of HLO and
+        can exceed compiler memory limits at production sizes, while the
+        stage programs stay small and the four dispatches are negligible
+        against seconds of compute. ``split=False`` keeps the single
+        fused program.
         """
         import jax
 
-        meta = dict(is_ntt=example.is_ntt, scale=example.scale)
-        out_meta: dict = {}
+        if not split:
+            meta = dict(is_ntt=example.is_ntt, scale=example.scale)
+            out_meta: dict = {}
 
-        def raw(v):
-            out = self.bootstrap(Ciphertext(value=v, **meta), keys)
-            out_meta["is_ntt"] = out.is_ntt
-            out_meta["scale"] = out.scale
-            return out.value
+            def raw(v):
+                out = self.bootstrap(Ciphertext(value=v, **meta), keys)
+                out_meta["is_ntt"] = out.is_ntt
+                out_meta["scale"] = out.scale
+                return out.value
 
-        # populate the (static) output metadata without compiling
-        shape = jax.eval_shape(raw, jax.ShapeDtypeStruct(example.value.shape,
-                                                         example.value.dtype))
-        jfn = jax.jit(raw)
+            shape = jax.eval_shape(
+                raw, jax.ShapeDtypeStruct(example.value.shape,
+                                          example.value.dtype))
+            jfn = jax.jit(raw)
+
+            def wrapped(ct: Ciphertext) -> Ciphertext:
+                return Ciphertext(value=jfn(ct.value), **out_meta)
+
+            wrapped.out_shape = shape
+            wrapped.out_meta = dict(out_meta)
+            return wrapped
+
+        p = self.params
+
+        # All key material and encoded DFT matrices cross the jit boundary
+        # as ARGUMENTS (they are pytrees): closed-over device arrays would
+        # be inlined into the HLO as literal constants — gigabytes of
+        # module text at production sizes, which breaks compilers long
+        # before the compute does. Inside the trace they are temporarily
+        # installed back onto the evaluator objects.
+        has_keys = keys is not None
+
+        def big_state():
+            st = dict(evk=self.ev.evk, c2s=self.dft.c2s_mats,
+                      s2c=self.dft.s2c_mats)
+            if has_keys:
+                st["keys"] = keys
+            return st
+
+        def install(st):
+            nonlocal keys
+            old = big_state()
+            self.ev.evk = st["evk"]
+            self.dft.c2s_mats = st["c2s"]
+            self.dft.s2c_mats = st["s2c"]
+            if has_keys:
+                keys = st["keys"]
+            return old
+
+        def jit_stage(fn, examples):
+            """jit a (ct, ...) → ct | (ct, ct) stage with static metadata
+            threading; returns (wrapped, example_outputs)."""
+            metas = [dict(is_ntt=e.is_ntt, scale=e.scale) for e in examples]
+            info: dict = {}
+
+            def raw(st, *vals):
+                old = install(st)
+                try:
+                    cts = [Ciphertext(value=v, **m)
+                           for v, m in zip(vals, metas)]
+                    out = fn(*cts)
+                finally:
+                    install(old)
+                outs = out if isinstance(out, tuple) else (out,)
+                info["meta"] = [dict(is_ntt=o.is_ntt, scale=o.scale)
+                                for o in outs]
+                info["tuple"] = isinstance(out, tuple)
+                return tuple(o.value for o in outs)
+
+            state = big_state()
+            shapes = jax.eval_shape(
+                raw, jax.eval_shape(lambda s: s, state),
+                *[jax.ShapeDtypeStruct(e.value.shape, e.value.dtype)
+                  for e in examples])
+            jfn = jax.jit(raw)
+
+            def wrapped(*cts):
+                vals = jfn(big_state(), *[c.value for c in cts])
+                outs = tuple(Ciphertext(value=v, **m)
+                             for v, m in zip(vals, info["meta"]))
+                return outs if info["tuple"] else outs[0]
+
+            ex_out = tuple(Ciphertext(value=s, **m)
+                           for s, m in zip(shapes, info["meta"]))
+            return wrapped, ex_out
+
+        def pre(ct):
+            ct0 = self.scale_down(ct)
+            if keys is not None and keys.evk_dense_to_sparse is not None:
+                ct0 = self.ev.apply_evaluation_key(ct0, keys.evk_dense_to_sparse)
+            up = self.mod_up(ct0)
+            if keys is not None and keys.evk_sparse_to_dense is not None:
+                up = self.ev.apply_evaluation_key(up, keys.evk_sparse_to_dense)
+            return up
+
+        f_pre, (ex_up,) = jit_stage(pre, [example])
+        f_c2s, (ex_re, ex_im) = jit_stage(self.dft.coeffs_to_slots, [ex_up])
+        f_mod1, (ex_m,) = jit_stage(
+            lambda ct: self.mod1.evaluate(ct, pre_mapped=True), [ex_re])
+        f_s2c, (ex_out,) = jit_stage(
+            lambda a, b: self.dft.slots_to_coeffs(a, b), [ex_m, ex_m])
+
+        # Δ₀ after ScaleDown (pure metadata) for the final q0 relabel
+        delta0 = Fraction(example.scale)
+        for l in range(example.level, 0, -1):
+            delta0 /= Fraction(p.q_moduli[l])
+        q0 = Fraction(p.q_moduli[0])
 
         def wrapped(ct: Ciphertext) -> Ciphertext:
-            return Ciphertext(value=jfn(ct.value), **out_meta)
+            up = f_pre(ct)
+            ct_re, ct_im = f_c2s(up)
+            ct_re = f_mod1(ct_re)
+            ct_im = f_mod1(ct_im)
+            out = f_s2c(ct_re, ct_im)
+            return out.replace(scale=Fraction(out.scale) * delta0 / q0)
 
-        wrapped.out_shape = shape
-        wrapped.out_meta = dict(out_meta)
+        wrapped.out_meta = dict(is_ntt=ex_out.is_ntt,
+                                scale=Fraction(ex_out.scale) * delta0 / q0)
+        wrapped.out_shape = jax.ShapeDtypeStruct(ex_out.value.shape,
+                                                 ex_out.value.dtype)
         return wrapped
 
 

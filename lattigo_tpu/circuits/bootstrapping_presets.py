@@ -18,13 +18,11 @@ Deviations from the reference:
   matrix rescaled by two 30-bit primes) become a single prime of the summed
   bit size, since the evaluator consumes one prime per linear-transform
   level; per-stage scales are unchanged.
-* this evaluator currently spends two extra EvalMod levels (an explicit
-  interval-map level and the Paterson-Stockmeyer final product) and one
-  extra C2S level (conjugation split), so the assembled logQP runs ~10-20%
-  above the reference's named budget. At the same logN that shrinks the
-  security margin accordingly — callers holding a hard 128-bit requirement
-  should drop residual levels to compensate until the depth accounting is
-  tightened.
+* depth accounting matches the reference exactly: C2S/S2C consume one
+  prime per factorization level, EvalMod consumes Depth() = bit_length(
+  max(degree, 2K−1)) + DoubleAngle (+ arcsine) primes — the interval map
+  and the conjugation split are free scale-metadata changes and the P-S
+  evaluation is depth-exact (see circuits/polynomial.py recursePS notes).
 """
 
 from __future__ import annotations
@@ -85,11 +83,8 @@ def build_bootstrapping_parameters(
     n_evalmod = BootstrappingEvaluator._mod1_depth(mod1)
     s2c = [sum(level) for level in lit.s2c_log_scales]
     c2s = [sum(level) for level in lit.c2s_log_scales]
-    # +1 prime above the C2S matrices: the evaluator spends one level on the
-    # 0.5 conjugation-split constant mul at the end of coeffs_to_slots
     log_q = (tuple(residual.log_q) + tuple(s2c)
-             + (lit.evalmod_log_scale,) * n_evalmod + tuple(c2s)
-             + (c2s[-1],))
+             + (lit.evalmod_log_scale,) * n_evalmod + tuple(c2s))
     full = replace(residual, log_q=log_q)
 
     log_slots = residual.log_n - 1  # full-slot bootstrapping

@@ -148,7 +148,16 @@ class DFTEvaluator:
                  c2s_levels: list[int] | None = None,
                  s2c_levels: list[int] | None = None,
                  level_q_c2s: int | None = None,
-                 level_q_s2c: int | None = None):
+                 level_q_s2c: int | None = None,
+                 c2s_scaling: float = 0.5):
+        """``c2s_scaling`` is folded into the last C2S matrix's diagonals
+        (free — ref dft.go:758 Scaling / bootstrapping/evaluator.go:190
+        C2SScaling): 0.5 cancels the doubling of the conjugation split so
+        coeffs_to_slots returns exact Re/Im without spending a level; the
+        bootstrapping evaluator additionally folds EvalMod's 1/K interval
+        map here, keeping the working scale pinned to the chain primes
+        (scale uniformity is what preserves the CosDiscrete coefficient
+        quantisation headroom)."""
         self.params = params
         self.ev = ckks_eval
         self.encoder = encoder
@@ -160,8 +169,9 @@ class DFTEvaluator:
         lq_c2s = params.max_level if level_q_c2s is None else level_q_c2s
         lq_s2c = params.max_level if level_q_s2c is None else level_q_s2c
 
-        self.c2s_mats = self._encode_mats(
-            dft_level_diagonals(n, self.c2s_levels, inverse=True), lq_c2s)
+        c2s_diags = dft_level_diagonals(n, self.c2s_levels, inverse=True)
+        c2s_diags[-1] = {k: v * c2s_scaling for k, v in c2s_diags[-1].items()}
+        self.c2s_mats = self._encode_mats(c2s_diags, lq_c2s)
         self.s2c_mats = self._encode_mats(
             dft_level_diagonals(n, self.s2c_levels, inverse=False), lq_s2c)
         self.lt_ev = lt_mod.LinTransEvaluator(ckks_eval)
@@ -203,13 +213,11 @@ class DFTEvaluator:
         for lt in self.c2s_mats:
             out = ev.rescale(self.lt_ev.evaluate(out, lt))
         conj = ev.conjugate(out)
-        ct_re = ev.add(out, conj)                       # 2·Re
-        ct_im = ev.mul_by_i(ev.sub(conj, out))          # (conj−x)·i = 2·Im? see below
-        # (x − conj)·(−i)/... : Im(x) = (x − conj(x))/(2i) = (conj(x) − x)·i/2
-        ct_re = ev.mul_const(ct_re, 0.5)
-        ct_re = ev.rescale(ct_re)
-        ct_im = ev.mul_const(ct_im, 0.5)
-        ct_im = ev.rescale(ct_im)
+        # c2s_scaling (default 0.5) is already folded into the last matrix,
+        # so the doubling of the split cancels and no level is spent
+        # (ref CoeffsToSlots dft.go:250-276: Conjugate/Sub/Mul(-1i)/Add).
+        ct_re = ev.add(out, conj)
+        ct_im = ev.mul_by_i(ev.sub(conj, out))
         return ct_re, ct_im
 
     def slots_to_coeffs(self, ct_re: Ciphertext, ct_im: Ciphertext) -> Ciphertext:

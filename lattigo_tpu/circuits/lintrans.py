@@ -20,6 +20,8 @@ import math
 from dataclasses import dataclass
 from typing import Any, Callable
 
+from flax import struct
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -31,12 +33,32 @@ from lattigo_tpu.rlwe.evaluator import Evaluator as RlweEvaluator
 
 
 def bsgs_split(diags: list[int], slots: int, log_bsgs_ratio: int = 0) -> int:
-    """Choose the baby-step width N1 (ref lintrans.go:297 FindBestBSGSRatio)."""
+    """Choose the baby-step width N1 (ref lintrans.go:320 FindBestBSGSRatio).
+
+    Searches power-of-two N1 minimizing the total number of key-switches
+    (#baby rotations + #giant rotations), which handles STRIDED diagonal
+    sets (the homomorphic-DFT stages produce indices {0, S, 2S, …}): for
+    those the baby offsets are rot mod N1 with N1 a multiple of S, e.g. 16
+    diagonals of stride 256 split 4×4 instead of degenerating into 16
+    giant steps (each giant step costs a gadget product + ModDown).
+    ``log_bsgs_ratio`` biases toward more giants (>0) or more babies (<0)
+    by weighting giants 2^-ratio in the cost.
+    """
     n = len(diags)
     if n <= 1:
         return 1
-    n1 = 1 << max(1, (int(math.ceil(math.log2(max(n, 2)))) + log_bsgs_ratio) // 2)
-    return min(n1, slots)
+    best_n1, best_cost = 1, float("inf")
+    w = 2.0 ** (-log_bsgs_ratio)
+    n1 = 1
+    while n1 <= slots:
+        index = bsgs_index(diags, slots, n1)
+        nb_babies = len({i for b in index.values() for i in b})
+        nb_giants = len(index)
+        cost = (nb_babies - 1) + w * (nb_giants - 1)
+        if cost < best_cost:
+            best_n1, best_cost = n1, cost
+        n1 <<= 1
+    return best_n1
 
 
 def bsgs_index(diags: list[int], slots: int, n1: int):
@@ -51,19 +73,21 @@ def bsgs_index(diags: list[int], slots: int, n1: int):
     return dict(sorted(index.items()))
 
 
-@dataclass
+@struct.dataclass
 class LinearTransformation:
     """Encoded linear transformation (ref lintrans.go:127).
 
     vec[k]: QPPoly — diagonal k pre-rotated by its giant step, encoded in
-    NTT+Montgomery over QP at level_q.
+    NTT+Montgomery over QP at level_q. A pytree (array leaves = the
+    encoded diagonals) so whole transformations can cross jit boundaries
+    as arguments instead of being inlined as HLO constants.
     """
 
     vec: dict[int, QPPoly]
-    n1: int
-    level_q: int
-    scale: Any
-    slots: int
+    n1: int = struct.field(pytree_node=False, default=1)
+    level_q: int = struct.field(pytree_node=False, default=0)
+    scale: Any = struct.field(pytree_node=False, default=1)
+    slots: int = struct.field(pytree_node=False, default=0)
 
     @property
     def index(self):
@@ -105,13 +129,31 @@ def encode_linear_transformation(
     n1 = bsgs_split(diags, slots, log_bsgs_ratio)
     if rotate_diag is None:
         rotate_diag = lambda d, j: np.roll(d, j, axis=-1)
-    vec: dict[int, QPPoly] = {}
+    ks, rots = [], []
     for k, d in diagonals.items():
         k = k % slots
         j = k - (k % n1)
         d = np.asarray(d)
-        rot = rotate_diag(d, j) if j else d  # pre-rotate by giant step
-        vec[k] = encode_diag(rot, level_q)
+        ks.append(k)
+        rots.append(rotate_diag(d, j) if j else d)  # pre-rotate by giant step
+    vec: dict[int, QPPoly] = {}
+    batch = getattr(encode_diag, "encode_batch", None)
+    if batch is not None:
+        # one device call per chunk of diagonals instead of one per diagonal;
+        # chunks are zero-padded to a fixed size so every call reuses the
+        # same compiled program
+        chunk = 16
+        for lo in range(0, len(ks), chunk):
+            part = rots[lo:lo + chunk]
+            pad = chunk - len(part)
+            if pad:
+                part = part + [np.zeros_like(np.asarray(part[0]))] * pad
+            qp = batch(np.stack(part), level_q)
+            for i, k in enumerate(ks[lo:lo + chunk]):
+                vec[k] = QPPoly(qp.q[i], None if qp.p is None else qp.p[i])
+    else:
+        for k, rot in zip(ks, rots):
+            vec[k] = encode_diag(rot, level_q)
     return LinearTransformation(vec=vec, n1=n1, level_q=level_q,
                                 scale=scale, slots=slots)
 
@@ -119,6 +161,43 @@ def encode_linear_transformation(
 # ---------------------------------------------------------------------------
 # Scheme bindings (ref circuits/{ckks,bgv}/lintrans)
 # ---------------------------------------------------------------------------
+
+def lift_f64_qp(params, vals: np.ndarray, level_q: int) -> QPPoly:
+    """Signed integral f64 coeffs [..., N] → NTT+Montgomery QPPoly.
+
+    Fast path for float-precision constants (CKKS DFT/lintrans matrices):
+    the magnitude (< 2^63, integral) is split hi·2^32 + lo exactly in f64,
+    reassembled as u64 on host, and reduced per limb on device — one device
+    round-trip for a whole batch of diagonals instead of per-diagonal
+    Python big-int residues. Bit-identical to lift_ints_qp on inputs that
+    came from f64 (they all do on this path).
+    """
+    import jax.numpy as jnp
+    from lattigo_tpu.ring import modops
+    mag = np.abs(np.rint(vals))
+    assert np.all(mag < 2.0 ** 63), "constant exceeds 63-bit magnitude"
+    neg = vals < 0
+    hi = np.floor(mag * 2.0 ** -32)
+    lo = mag - hi * 2.0 ** 32
+    m64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+    def reduce_ring(ring, l):
+        q, bhi = ring.q[:l], ring.bred_hi[:l]
+        r = modops.bred_add(jnp.asarray(m64)[..., None, :], q, bhi)
+        return jnp.where(jnp.asarray(neg)[..., None, :],
+                         modops.neg_mod(r, q), r)
+
+    # always lift over the FULL chain and slice down: one program shape
+    # for every (matrix, level) — compile once, reuse for all encodes
+    rq = params.ring_q
+    lfull = rq.max_level + 1
+    qq = rq.mform(rq.ntt(reduce_ring(rq, lfull)))[..., : level_q + 1, :]
+    pp = None
+    if params.ring_p is not None:
+        rp = params.ring_p
+        pp = rp.mform(rp.ntt(reduce_ring(rp, len(params.p_moduli))))
+    return QPPoly(qq, pp)
+
 
 def lift_ints_qp(params, ints: np.ndarray, level_q: int) -> QPPoly:
     """Signed integer coeffs (object array [..., N]) → NTT+Montgomery QPPoly."""
@@ -138,11 +217,20 @@ def lift_ints_qp(params, ints: np.ndarray, level_q: int) -> QPPoly:
 
 
 def ckks_diag_encoder(params, encoder, scale) -> Callable[[np.ndarray, int], QPPoly]:
-    """Diagonal encoder for CKKS: embed → ×scale → round → lift to QP."""
+    """Diagonal encoder for CKKS: embed → ×scale → round → lift to QP.
+
+    Exposes ``encode_batch(vecs[D, slots], level_q)`` so a whole matrix's
+    diagonals lift in one device call (see encode_linear_transformation).
+    """
+    def encode_batch(vecs: np.ndarray, level_q: int) -> QPPoly:
+        coeffs = encoder.embed_to_coeffs(vecs) * float(scale)
+        return lift_f64_qp(params, coeffs, level_q)
+
     def encode_diag(vec: np.ndarray, level_q: int) -> QPPoly:
-        coeffs = encoder.embed_to_coeffs(vec) * float(scale)
-        ints = np.vectorize(lambda x: int(round(x)), otypes=[object])(coeffs)
-        return lift_ints_qp(params, ints, level_q)
+        qp = encode_batch(np.asarray(vec)[None], level_q)
+        return QPPoly(qp.q[0], None if qp.p is None else qp.p[0])
+
+    encode_diag.encode_batch = encode_batch
     return encode_diag
 
 
@@ -232,68 +320,103 @@ class LinTransEvaluator:
                 return (tq, tp), 1
             return (acc[0] + tq, acc[1] + tp), None
 
-        out0 = out1 = None  # QP lazy accumulators across giant steps
-        n_out = 0
+        tmp_by_j: dict[int, tuple[QPPoly, QPPoly]] = {}
         for j, b_list in index.items():
-            acc0 = acc1 = None
-            cnt = 0
-            for i in b_list:
-                pt = lt.vec[j + i]
-                x0, x1 = pre[i]
-                t0q = modops.mred_lazy(x0.q, pt.q[..., :l, :], rq.q[:l], rq.qinv[:l])
-                t0p = modops.mred_lazy(x0.p, pt.p, rp.q, rp.qinv)
-                t1q = modops.mred_lazy(x1.q, pt.q[..., :l, :], rq.q[:l], rq.qinv[:l])
-                t1p = modops.mred_lazy(x1.p, pt.p, rp.q, rp.qinv)
-                if acc0 is None:
-                    acc0, acc1 = [t0q, t0p], [t1q, t1p]
-                else:
-                    acc0 = [acc0[0] + t0q, acc0[1] + t0p]
-                    acc1 = [acc1[0] + t1q, acc1[1] + t1p]
-                cnt += 1
-                if cnt % margin == margin - 1:
-                    acc0 = [modops.bred_add_lazy(acc0[0], rq.q[:l], rq.bred_hi[:l]),
-                            modops.bred_add_lazy(acc0[1], rp.q, rp.bred_hi)]
-                    acc1 = [modops.bred_add_lazy(acc1[0], rq.q[:l], rq.bred_hi[:l]),
-                            modops.bred_add_lazy(acc1[1], rp.q, rp.bred_hi)]
-            tmp0 = QPPoly(modops.bred_add(acc0[0], rq.q[:l], rq.bred_hi[:l]),
-                          modops.bred_add(acc0[1], rp.q, rp.bred_hi))
-            tmp1 = QPPoly(modops.bred_add(acc1[0], rq.q[:l], rq.bred_hi[:l]),
-                          modops.bred_add(acc1[1], rp.q, rp.bred_hi))
+            # stack the giant step's baby plaintexts and pre-rotations, one
+            # broadcast Montgomery MAC + lazy tree reduction over the baby
+            # axis (single fused op chain — see modops.lazy_tree_sum)
+            ptq = jnp.stack([lt.vec[j + i].q[..., :l, :] for i in b_list])
+            ptp = jnp.stack([lt.vec[j + i].p for i in b_list])
+            x0q = jnp.stack([pre[i][0].q for i in b_list])
+            if x0q.ndim > ptq.ndim:  # ct batch dims: keep pt aligned on [B,...,l,N]
+                ext = (1,) * (x0q.ndim - ptq.ndim)
+                ptq = ptq.reshape(ptq.shape[:1] + ext + ptq.shape[1:])
+                ptp = ptp.reshape(ptp.shape[:1] + ext + ptp.shape[1:])
+            x0p = jnp.stack([pre[i][0].p for i in b_list])
+            x1q = jnp.stack([pre[i][1].q for i in b_list])
+            x1p = jnp.stack([pre[i][1].p for i in b_list])
+            sum_q = lambda x, pt: modops.lazy_tree_sum(
+                modops.mred_lazy(x, pt, rq.q[:l], rq.qinv[:l]),
+                rq.q[:l], rq.bred_hi[:l], margin)
+            sum_p = lambda x, pt: modops.lazy_tree_sum(
+                modops.mred_lazy(x, pt, rp.q, rp.qinv),
+                rp.q, rp.bred_hi, margin)
+            tmp_by_j[j] = (
+                QPPoly(
+                    modops.bred_add(sum_q(x0q, ptq), rq.q[:l], rq.bred_hi[:l]),
+                    modops.bred_add(sum_p(x0p, ptp), rp.q, rp.bred_hi)),
+                QPPoly(
+                    modops.bred_add(sum_q(x1q, ptq), rq.q[:l], rq.bred_hi[:l]),
+                    modops.bred_add(sum_p(x1p, ptp), rp.q, rp.bred_hi)))
 
-            if j != 0:
-                # collapse P on the c1 side, key-switch by giant rotation
-                t1q = p.basis_extender.mod_down_qp_to_q(
-                    tmp1.q, tmp1.p, level, ntt_domain=True)
-                gal = p.galois_element(j)
-                gk = self.ev.evk.galois_key(gal)
-                d = self.ev.gadget_product_hoisted_lazy(
-                    self.ev.decompose_ntt(t1q, level), gk.gadget, level)
-                # d0 += tmp0 (both carry the P factor)
-                d0 = QPPoly(rq.add(d.q[..., 0, :, :], tmp0.q, level),
-                            rp.add(d.p[..., 0, :, :], tmp0.p))
-                d1 = QPPoly(d.q[..., 1, :, :], d.p[..., 1, :, :])
-                idx = auto_mod.ntt_index(p.n, gal, p.ring_type)
-                g0 = QPPoly(auto_mod.apply_ntt(d0.q, idx), auto_mod.apply_ntt(d0.p, idx))
-                g1 = QPPoly(auto_mod.apply_ntt(d1.q, idx), auto_mod.apply_ntt(d1.p, idx))
-            else:
-                g0, g1 = tmp0, tmp1
+        # giant steps: every j != 0 needs ModDown + decompose + gadget MAC +
+        # NTT permutation — identical shapes, so the whole set runs BATCHED
+        # over a leading giant axis (stacked Galois keys / gather indices):
+        # one program instead of per-giant chains, then one tree reduction.
+        giants = [j for j in index if j != 0]
+        parts0, parts1 = [], []
+        if 0 in index:
+            g0, g1 = tmp_by_j[0]
+            parts0.append(g0)
+            parts1.append(g1)
+        if giants:
+            T0q = jnp.stack([tmp_by_j[j][0].q for j in giants])  # [G, ..., l, N]
+            T0p = jnp.stack([tmp_by_j[j][0].p for j in giants])
+            T1q = jnp.stack([tmp_by_j[j][1].q for j in giants])
+            T1p = jnp.stack([tmp_by_j[j][1].p for j in giants])
+            t1q = p.basis_extender.mod_down_qp_to_q(T1q, T1p, level,
+                                                    ntt_domain=True)
+            digits = self.ev.decompose_ntt(t1q, level)   # [G, ..., beta, l, N]
+            gks = [self.ev.evk.galois_key(p.galois_element(j)) for j in giants]
+            beta = digits.q.shape[-3]
+            evq = jnp.stack([gk.gadget.value.q[:beta, :, :l, :] for gk in gks])
+            evp = jnp.stack([gk.gadget.value.p[:beta] for gk in gks])
+            n_ext = digits.q.ndim + 1 - evq.ndim  # ct batch dims (G .. beta)
+            if n_ext > 0:
+                ext = (1,) * n_ext
+                evq = evq.reshape(evq.shape[:1] + ext + evq.shape[1:])
+                evp = evp.reshape(evp.shape[:1] + ext + evp.shape[1:])
+            dq = modops.mred_lazy(digits.q[..., :, None, :, :], evq,
+                                  rq.q[:l], rq.qinv[:l])
+            dp = modops.mred_lazy(digits.p[..., :, None, :, :], evp,
+                                  rp.q, rp.qinv)
+            accq = modops.bred_add(
+                modops.lazy_tree_sum(jnp.moveaxis(dq, -4, 0),
+                                     rq.q[:l], rq.bred_hi[:l], margin),
+                rq.q[:l], rq.bred_hi[:l])                # [G, ..., 2, l, N]
+            accp = modops.bred_add(
+                modops.lazy_tree_sum(jnp.moveaxis(dp, -4, 0),
+                                     rp.q, rp.bred_hi, margin),
+                rp.q, rp.bred_hi)
+            d0q = rq.add(accq[..., 0, :, :], T0q, level)
+            d0p = rp.add(accp[..., 0, :, :], T0p)
+            d1q, d1p = accq[..., 1, :, :], accp[..., 1, :, :]
+            # per-giant permutation with STATIC indices (constant-folded
+            # gathers; a dynamic take_along_axis lowers poorly)
+            for g, j in enumerate(giants):
+                idx = auto_mod.ntt_index(p.n, p.galois_element(j), p.ring_type)
+                parts0.append(QPPoly(auto_mod.apply_ntt(d0q[g], idx),
+                                     auto_mod.apply_ntt(d0p[g], idx)))
+                parts1.append(QPPoly(auto_mod.apply_ntt(d1q[g], idx),
+                                     auto_mod.apply_ntt(d1p[g], idx)))
 
-            if out0 is None:
-                out0, out1 = [g0.q, g0.p], [g1.q, g1.p]
-            else:
-                out0 = [out0[0] + g0.q, out0[1] + g0.p]
-                out1 = [out1[0] + g1.q, out1[1] + g1.p]
-            n_out += 1
-            if n_out % margin == margin - 1:
-                out0 = [modops.bred_add_lazy(out0[0], rq.q[:l], rq.bred_hi[:l]),
-                        modops.bred_add_lazy(out0[1], rp.q, rp.bred_hi)]
-                out1 = [modops.bred_add_lazy(out1[0], rq.q[:l], rq.bred_hi[:l]),
-                        modops.bred_add_lazy(out1[1], rp.q, rp.bred_hi)]
+        base_ndim = next(iter(tmp_by_j.values()))[0].q.ndim
 
-        c0q = modops.bred_add(out0[0], rq.q[:l], rq.bred_hi[:l])
-        c0p = modops.bred_add(out0[1], rp.q, rp.bred_hi)
-        c1q = modops.bred_add(out1[0], rq.q[:l], rq.bred_hi[:l])
-        c1p = modops.bred_add(out1[1], rp.q, rp.bred_hi)
+        def reduce_parts(parts, is_q: bool):
+            arrs = []
+            for qp in parts:
+                a = qp.q if is_q else qp.p
+                # per-giant stacks carry a leading G axis; singles don't
+                arrs.append(a if a.ndim > base_ndim else a[None])
+            t = jnp.concatenate(arrs, axis=0)
+            qv, bhi = (rq.q[:l], rq.bred_hi[:l]) if is_q else (rp.q, rp.bred_hi)
+            return modops.bred_add(
+                modops.lazy_tree_sum(t, qv, bhi, margin), qv, bhi)
+
+        c0q = reduce_parts(parts0, True)
+        c0p = reduce_parts(parts0, False)
+        c1q = reduce_parts(parts1, True)
+        c1p = reduce_parts(parts1, False)
         c0 = p.basis_extender.mod_down_qp_to_q(c0q, c0p, level, ntt_domain=True)
         c1 = p.basis_extender.mod_down_qp_to_q(c1q, c1p, level, ntt_domain=True)
 

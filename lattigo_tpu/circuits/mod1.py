@@ -121,8 +121,11 @@ class Mod1Evaluator:
                 return s * math.cos(2 * math.pi * (k * t - 0.25) / scfac)
         return chebyshev_approximate(f, p1.degree, interval=(-1.0, 1.0))
 
-    def evaluate(self, ct: Ciphertext) -> Ciphertext:
+    def evaluate(self, ct: Ciphertext, pre_mapped: bool = False) -> Ciphertext:
         """ct slots hold y ∈ [−K, K]; returns slots ≈ (y mod 1) centered.
+        With ``pre_mapped`` the interval map y → y·2^r/K (resp. y/K) was
+        already applied by the caller (folded into the C2S matrices in the
+        bootstrap) and no level is spent on it.
 
         Scale choreography (ref mod1_evaluator.go:52-58): each double-angle
         squaring maps scale σ → σ²/q, so the polynomial is evaluated at the
@@ -139,11 +142,22 @@ class Mod1Evaluator:
         k, r = p1.k, self._r
         s = self._sqrt2pi
 
-        # map y to the polynomial variable (one constant mul + rescale):
-        # v = y·2^r/K for CosDiscrete, t = y/K for the continuous types
-        in_const = (Fraction(p1.sc_fac, k) if p1.mod1_type == COS_DISCRETE
-                    else Fraction(1, k))
-        t = ev.rescale(ev.mul_const(ct, in_const))
+        # map y to the polynomial variable: v = y·2^r/K for CosDiscrete,
+        # t = y/K for the continuous types. In the bootstrap the caller
+        # folds this constant into the C2S matrices (pre_mapped=True, free
+        # — ref bootstrapping/evaluator.go:190 C2SScaling); standalone
+        # callers pay one constant mul, exactly like the reference's own
+        # mod1 test (mod1_evaluator_test.go:151 Mul(1/(K·QDiff))+Rescale).
+        # A scale-metadata relabel would also be exact but drifts the
+        # working scale off the chain primes; the drift compounds through
+        # the Chebyshev squaring chain (×2 → ×2^16 at T_16) and destroys
+        # the coefficient quantisation headroom CosDiscrete needs.
+        if not pre_mapped:
+            in_const = (Fraction(p1.sc_fac, k) if p1.mod1_type == COS_DISCRETE
+                        else Fraction(1, k))
+            t = ev.rescale(ev.mul_const(ct, in_const))
+        else:
+            t = ct
 
         # plan: poly output level with a throwaway target, then stage the
         # real target backward through the r double-angle rescales

@@ -245,6 +245,7 @@ def simulate(params, level: int, scale, poly: "Polynomial",
     sim = PolynomialEvaluator.__new__(PolynomialEvaluator)
     sim.ev = SimEvaluator(params)
     sim.params = params
+    sim.encoder = None
     return sim.evaluate(SimCiphertext(level, scale), poly, target_scale)
 
 
@@ -262,88 +263,124 @@ class PolynomialEvaluator:
 
     def evaluate(self, ct: Ciphertext, poly: Polynomial | PolynomialVector,
                  target_scale: Fraction | None = None) -> Ciphertext:
+        """Depth-exact P-S evaluation: consumes exactly bit_length(degree)
+        levels (ref Evaluate docstring "ceil(log2(deg+1)) levels").
+
+        The level choreography mirrors the reference's recursePS planning
+        (ref polynomial.go:109, polynomial_evaluator_sim.go): baby-step
+        inner products are left with a PENDING rescale (scale ≈ target·q)
+        that the following giant-step multiplication consumes
+        (ref EvaluateMonomial: Rescale → Mul → Add), and ONE final rescale
+        lands the output on target_scale.
+        """
         p = self.params
         target_scale = (p.default_scale_fraction if target_scale is None
                         else Fraction(target_scale))
         d = poly.degree
         if d < 0:
             raise ValueError("empty polynomial")
+        if d == 0:
+            return self._eval_baby_at(None, poly, ct, ct.level, target_scale)
 
-        log_degree = (d + 1).bit_length() - 1 if (d + 1) & d == 0 else (d + 1).bit_length()
-        log_degree = max(1, (d).bit_length())
+        log_degree = max(1, d.bit_length())
         log_split = optimal_split(log_degree)
-        n1 = 1 << log_split
 
         pb = PowerBasis(ct, poly.basis)
-        # giants
-        m = n1
-        while m <= d:
-            pb.gen_power(m, self.ev)
-            m <<= 1
-        # babies
-        for i in range(2, min(n1, d + 1)):
+        for k in range(log_split, log_degree):          # giants (2^k ≤ 2^{logD-1})
+            pb.gen_power(1 << k, self.ev)
+        for i in range(3, min(1 << log_split, d + 1)):  # babies
             pb.gen_power(i, self.ev)
 
-        out = self._recurse(pb, poly, n1, target_scale)
+        # output level BEFORE the final rescale (ref PolynomialDepth)
+        target_level = ct.level - (log_degree - 1)
+        assert target_level >= 1, (
+            f"not enough levels: need {log_degree} below {ct.level}")
+        out = self._recurse_ps(pb, poly, d, True, log_split,
+                               target_level, target_scale)
+        out = self.ev.rescale(out)
         return out
 
     # -- recursion ------------------------------------------------------------
 
-    def _recurse(self, pb: PowerBasis, poly: Polynomial, n1: int,
-                 target_scale: Fraction) -> Ciphertext:
+    def _recurse_ps(self, pb: PowerBasis, poly, max_deg: int, lead: bool,
+                    log_split: int, target_level: int,
+                    target_scale: Fraction) -> Ciphertext:
+        """Returns poly(ct) at `target_level` with a pending scale:
+        target_scale·q[target_level] when `lead`, else exactly target_scale
+        (the caller's pending factor is already inside target_scale) —
+        ref recursePS + UpdateLevelAndScaleBabyStep/GiantStep.
+        """
         d = poly.degree
-        if d < n1:
-            return self._eval_baby(pb, poly, target_scale)
+        q_mod = self.params.q_moduli
+        if d < (1 << log_split):
+            # Lead babies whose planned level would exceed their powers'
+            # levels are re-split with a smaller base so the plan stays
+            # consistent (ref recursePS:118 — THE condition that makes the
+            # depth bound exact; without it the deep baby powers drag the
+            # chain one level down).
+            if (lead and log_split > 1 and d > 0
+                    and max_deg > (1 << max_deg.bit_length()) - (1 << (log_split - 1))):
+                return self._recurse_ps(
+                    pb, poly, max_deg, lead,
+                    optimal_split(max(1, d.bit_length())),
+                    target_level, target_scale)
+            scale = target_scale * (Fraction(q_mod[target_level]) if lead
+                                    else Fraction(1))
+            return self._eval_baby_at(pb, poly, pb.powers[1],
+                                      target_level, scale)
 
-        m = n1
+        m = 1 << log_split
         while m < (d >> 1) + 1:
             m <<= 1
+        pb.gen_power(m, self.ev)
         xm = pb.powers[m]
-        q, r = poly.factorize(m)
+        qi = Fraction(q_mod[target_level if lead else target_level + 1])
+        ts_new = target_scale * qi / Fraction(xm.scale)
 
-        # plan the q branch so rescale(q_res·X^m) lands at target_scale
-        lvl_assumed = None
-        # q branch result level: we can't know exactly beforehand; assume the
-        # product happens at xm's level (q_res is at least as high).
-        lvl_assumed = xm.level
-        q_target = target_scale * Fraction(self.params.q_moduli[lvl_assumed]) \
-            / Fraction(xm.scale)
-        q_ct = self._recurse(pb, q, n1, q_target)
-        prod = self.ev.rescale(
-            self.ev.mul_relin(q_ct.at_level(min(q_ct.level, xm.level)),
-                              xm.at_level(min(q_ct.level, xm.level))))
-        r_ct = self._recurse(pb, r, n1, Fraction(prod.scale))
-        return self.ev.add(prod, r_ct.at_level(min(prod.level, r_ct.level)))
+        q_poly, r_poly = poly.factorize(m)
+        mdq = max_deg
+        mdr = m - 1 if max_deg == d else max_deg - (d - m + 1)
 
-    def _eval_baby(self, pb: PowerBasis, poly, target_scale: Fraction) -> Ciphertext:
-        """Σ_i c_i·B_i + c_0 with constants encoded to land at target_scale."""
+        q_ct = self._recurse_ps(pb, q_poly, mdq, lead, log_split,
+                                target_level + 1, ts_new)
+        q_ct = self.ev.rescale(q_ct)
+        lvl = min(q_ct.level, xm.level)
+        prod = self.ev.mul_relin(q_ct.at_level(lvl), xm.at_level(lvl))
+        r_ct = self._recurse_ps(pb, r_poly, mdr, False, log_split,
+                                target_level, Fraction(prod.scale))
+        lvl2 = min(prod.level, r_ct.level)
+        return self.ev.add(prod.at_level(lvl2), r_ct.at_level(lvl2))
+
+    def _eval_baby_at(self, pb, poly, base, level: int,
+                      scale: Fraction) -> Ciphertext:
+        """Σ_i c_i·B_i + c_0 evaluated AT (level, scale), no rescale —
+        the pending rescale is the caller's (ref
+        EvaluatePolynomialVectorFromPowerBasis)."""
         if isinstance(poly, PolynomialVector):
-            return self._eval_baby_vector(pb, poly, target_scale)
+            return self._eval_baby_vector_at(pb, poly, base, level, scale)
         ev = self.ev
         nz = [i for i, c in enumerate(poly.coeffs) if i > 0 and c != 0]
         if not nz:
-            # constant polynomial: c_0 at target_scale on a zero ciphertext
-            base = pb.powers[1]
-            zero = base.replace(
-                value=base.value * np.uint64(0), scale=target_scale)
+            zero = base.replace(value=base.value * np.uint64(0),
+                                scale=scale).at_level(level)
             return ev.add(zero, complex(poly.coeffs[0])) if poly.coeffs[0] else zero
-        lb = min(pb.powers[i].level for i in nz)
-        q_lb = Fraction(self.params.q_moduli[lb])
         acc = None
         for i in nz:
-            xi = pb.powers[i].at_level(lb)
-            cs = target_scale * q_lb / Fraction(xi.scale)
+            xi = pb.powers[i]
+            assert xi.level >= level, (
+                f"baby power T_{i} at level {xi.level} below plan {level}")
+            xi = xi.at_level(level)
+            cs = scale / Fraction(xi.scale)
             # pass coefficients through unconverted: Fraction coeffs
             # (CosDiscrete) quantise exactly inside mul_const
             term = ev.mul_const(xi, poly.coeffs[i], const_scale=cs)
             acc = term if acc is None else ev.add(acc, term)
-        acc = ev.rescale(acc)
         if poly.coeffs[0]:
             acc = ev.add(acc, poly.coeffs[0])
         return acc
 
-    def _eval_baby_vector(self, pb: PowerBasis, poly: PolynomialVector,
-                          target_scale: Fraction) -> Ciphertext:
+    def _eval_baby_vector_at(self, pb, poly: PolynomialVector, base,
+                             level: int, scale: Fraction) -> Ciphertext:
         """Vector variant: scalar coefficient multiplies become plaintext
         slot-vector multiplies (ref circuits/ckks/polynomial vector
         CoefficientGetter path)."""
@@ -354,25 +391,23 @@ class PolynomialEvaluator:
         nz = poly.nonzero_degrees()
         c0 = poly.coeff_slots(0, slots)
         if not nz:
-            base = pb.powers[1]
-            zero = base.replace(
-                value=base.value * np.uint64(0), scale=target_scale)
+            zero = base.replace(value=base.value * np.uint64(0),
+                                scale=scale).at_level(level)
             if np.any(c0):
-                pt = self.encoder.encode(c0, level=zero.level,
-                                         scale=Fraction(zero.scale))
+                pt = self.encoder.encode(c0, level=level, scale=scale)
                 return ev.add(zero, pt)
             return zero
-        lb = min(pb.powers[i].level for i in nz)
-        q_lb = Fraction(self.params.q_moduli[lb])
         acc = None
         for i in nz:
-            xi = pb.powers[i].at_level(lb)
-            cs = target_scale * q_lb / Fraction(xi.scale)
+            xi = pb.powers[i]
+            assert xi.level >= level, (
+                f"baby power T_{i} at level {xi.level} below plan {level}")
+            xi = xi.at_level(level)
+            cs = scale / Fraction(xi.scale)
             pt = self.encoder.encode(poly.coeff_slots(i, slots),
-                                     level=lb, scale=cs)
+                                     level=level, scale=cs)
             term = ev.mul(xi, pt)
             acc = term if acc is None else ev.add(acc, term)
-        acc = ev.rescale(acc)
         if np.any(c0):
             pt = self.encoder.encode(c0, level=acc.level,
                                      scale=Fraction(acc.scale))

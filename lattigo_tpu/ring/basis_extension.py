@@ -206,29 +206,23 @@ def mod_up(x, consts: ModUpConstants, dst_q, dst_qinv, dst_bhi, centered: bool =
     if (consts.mxu and jax.default_backend() == "tpu"
             and not os.environ.get("LATTIGO_TPU_NO_MXU_MODUP")):
         return _mod_up_contract_mxu(y, v, consts, dst_q, dst_bhi)
+    # one broadcast MAC over [..., Li, Lj, N] + lazy tree reduction over Li
+    # (see modops.lazy_tree_sum) instead of a per-source-limb Python chain
     if consts.small:
         # raw u64 MAC (terms < 2^60) + one Barrett per output element;
         # v < Li+1 so v·(−Q mod p) is far below the term bound too
-        acc = v[..., None, :] * consts.qneg_plain[:, None]
-        pending = 1
-        for i in range(Li):
-            acc = acc + y[..., i : i + 1, :] * consts.qhat_plain[i][:, None]
-            pending += 1
-            if pending >= consts.margin_small and i != Li - 1:
-                acc = modops.bred_add_lazy(acc, dst_q, dst_bhi)
-                pending = 1
+        t = y[..., :, None, :] * consts.qhat_plain[:, :, None]
+        acc = modops.lazy_tree_sum(jnp.moveaxis(t, -3, 0), dst_q, dst_bhi,
+                                   consts.margin_small)
+        acc = acc + v[..., None, :] * consts.qneg_plain[:, None]
         return modops.bred_add(acc, dst_q, dst_bhi)
 
-    acc = modops.mred_lazy(v[..., None, :], consts.qneg_dst, dst_q, dst_qinv)
-    pending = 1
-    for i in range(Li):
-        acc = acc + modops.mred_lazy(
-            y[..., i : i + 1, :], consts.qhat_dst[i][:, None], dst_q, dst_qinv
-        )
-        pending += 1
-        if pending >= consts.margin and i != Li - 1:
-            acc = modops.bred_add_lazy(acc, dst_q, dst_bhi)
-            pending = 1
+    t = modops.mred_lazy(y[..., :, None, :], consts.qhat_dst[:, :, None],
+                         dst_q, dst_qinv)                  # [..., Li, Lj, N]
+    acc = modops.lazy_tree_sum(jnp.moveaxis(t, -3, 0), dst_q, dst_bhi,
+                               consts.margin)
+    acc = acc + modops.mred_lazy(v[..., None, :], consts.qneg_dst,
+                                 dst_q, dst_qinv)
     return modops.bred_add(acc, dst_q, dst_bhi)
 
 
@@ -319,6 +313,113 @@ class Decomposer:
             dst = self.ring_q.moduli[: level_q + 1] + self.ring_p.moduli
             self._consts[key] = ModUpConstants(src, dst)
         return self._consts[key]
+
+    def _stacked_consts(self, level_q: int):
+        """Digit-stacked ModUp tables for :meth:`decompose_all` (cached).
+
+        Rows of the padded last digit carry zero tables so they contribute
+        nothing to the contraction or the overflow count.
+        """
+        key = ("stacked", level_q)
+        if key in self._consts:
+            return self._consts[key]
+        rq, rp = self.ring_q, self.ring_p
+        lq = level_q + 1
+        a = self.alpha
+        beta = self.num_digits(level_q)
+        Lj = lq + len(rp.moduli)
+        qhatinv = np.zeros((beta, a, 1), dtype=_U64)
+        whi = np.zeros((beta, a, 1), dtype=_U64)
+        wlo = np.zeros((beta, a, 1), dtype=_U64)
+        src_q = np.ones((beta, a, 1), dtype=_U64)
+        src_qinv = np.ones((beta, a, 1), dtype=_U64)
+        qhat_dst = np.zeros((beta, a, Lj), dtype=_U64)
+        qneg_dst = np.zeros((beta, Lj, 1), dtype=_U64)
+        margin = 1 << 62
+        for d in range(beta):
+            c = self._get_consts(level_q, d)
+            k = len(c.src_moduli)
+            qhatinv[d, :k] = c.qhatinv
+            whi[d, :k] = c.whi
+            wlo[d, :k] = c.wlo
+            src_q[d, :k] = c.src_q
+            src_qinv[d, :k] = c.src_qinv
+            qhat_dst[d, :k] = c.qhat_dst
+            qneg_dst[d] = c.qneg_dst
+            margin = min(margin, c.margin)
+        pass_mask = np.zeros((beta, Lj, 1), dtype=bool)
+        for d in range(beta):
+            lo, hi = self.digit_range(level_q, d)
+            pass_mask[d, lo:hi] = True
+        out = dict(qhatinv=qhatinv, whi=whi, wlo=wlo, src_q=src_q,
+                   src_qinv=src_qinv, qhat_dst=qhat_dst, qneg_dst=qneg_dst,
+                   margin=margin, pass_mask=pass_mask, beta=beta)
+        self._consts[key] = out
+        return out
+
+    def decompose_all(self, x_coeff, level_q: int):
+        """All digits at once: (yq [..., beta, l+1, N], yp [..., beta, LP, N]).
+
+        One broadcast computation over a digit axis instead of beta separate
+        ModUp programs — same math as :meth:`decompose_single` per digit
+        (general Montgomery path; falls back to the per-digit loop for the
+        small/MXU-contraction chains, whose fast paths are already compact).
+        """
+        rq, rp = self.ring_q, self.ring_p
+        lq = level_q + 1
+        if self._get_consts(level_q, 0).small or self._get_consts(level_q, 0).mxu:
+            ys = [self.decompose_single(x_coeff, level_q, d)
+                  for d in range(self.num_digits(level_q))]
+            return (jnp.stack([y[0] for y in ys], axis=-3),
+                    jnp.stack([y[1] for y in ys], axis=-3))
+        c = self._stacked_consts(level_q)
+        beta, a = c["beta"], self.alpha
+        Lj = lq + len(rp.moduli)
+        # group the limbs into digits: [..., beta, a, N] (zero-padded tail)
+        pad = beta * a - lq
+        x = x_coeff
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-2] + (pad, x.shape[-1]), x.dtype)],
+                axis=-2)
+        xg = x.reshape(x.shape[:-2] + (beta, a, x.shape[-1]))
+
+        # tables [beta, r, c] right-align against xg [..., beta, a, N]
+        y = modops.mred(xg, c["qhatinv"], c["src_q"], c["src_qinv"])
+        # overflow count v = round(Σ_i y_i/q_i) via 128-bit fixed point
+        t_hi = y * c["whi"] + modops.mul_hi(y, c["wlo"])
+        t_lo = y * c["wlo"]
+        acc_lo = jnp.zeros(t_lo.shape[:-2] + (t_lo.shape[-1],), jnp.uint64)
+        acc_hi = jnp.zeros_like(acc_lo)
+        v = jnp.zeros_like(acc_lo)
+        for i in range(a):
+            lo_, hi_ = t_lo[..., i, :], t_hi[..., i, :]
+            new_lo = acc_lo + lo_
+            carry = (new_lo < lo_).astype(jnp.uint64)
+            new_hi = acc_hi + hi_ + carry
+            v = v + (new_hi < hi_).astype(jnp.uint64)
+            acc_lo, acc_hi = new_lo, new_hi
+        v = v + (acc_hi >> jnp.uint64(63))                 # centered
+
+        dst_q = np.concatenate([rq.q[:lq], rp.q], axis=0)
+        dst_qinv = np.concatenate([rq.qinv[:lq], rp.qinv], axis=0)
+        dst_bhi = np.concatenate([rq.bred_hi[:lq], rp.bred_hi], axis=0)
+        # contraction: [..., beta, a, Lj, N] MAC, lazy tree-sum over a
+        tq = modops.mred_lazy(y[..., :, None, :],
+                              c["qhat_dst"][..., :, :, None],
+                              dst_q, dst_qinv)
+        acc = modops.lazy_tree_sum(jnp.moveaxis(tq, -3, 0), dst_q, dst_bhi,
+                                   c["margin"])
+        acc = acc + modops.mred_lazy(v[..., None, :],
+                                     c["qneg_dst"], dst_q, dst_qinv)
+        extd = modops.bred_add(acc, dst_q, dst_bhi)        # [..., beta, Lj, N]
+        # digit's own limbs pass through exactly (mask aligns from the right:
+        # [beta, Lj, 1] vs extd [..., beta, Lj, N])
+        xb = jnp.concatenate(
+            [x_coeff, jnp.zeros(x_coeff.shape[:-2] + (Lj - lq, x_coeff.shape[-1]),
+                                x_coeff.dtype)], axis=-2)[..., None, :, :]
+        extd = jnp.where(c["pass_mask"], xb, extd)
+        return extd[..., :lq, :], extd[..., lq:, :]
 
     def decompose_single(self, x_coeff, level_q: int, d: int):
         """Digit d of x (coeff domain [..., l+1, N]) extended to basis QP.

@@ -213,3 +213,26 @@ def mul_mont_lazy(a, b, q, qinv):
 def mul_scalar_mont(a, s_mform, q, qinv):
     """a·s for a scalar already in M-form (broadcasts)."""
     return mred(a, s_mform, q, qinv)
+
+
+def lazy_tree_sum(t, q, bred_hi, margin: int):
+    """Reduce axis 0 of lazy (< 2q) values with periodic Barrett reduction.
+
+    Sums chunks of up to `margin` terms in plain u64 (margin·2q < 2^64 by
+    construction — the caller derives margin from the largest modulus, ref
+    QiOverflowMargin) and lazy-reduces between rounds. Zero-padding is safe
+    (0 is a fixed point of the reduction). One fused op per round instead
+    of a Python-level accumulate chain — this is the inner loop of every
+    gadget product and BSGS matrix MAC.
+    """
+    b = t.shape[0]
+    while b > 1:
+        k = min(max(2, margin), b)
+        rem = (-b) % k
+        if rem:
+            t = jnp.concatenate(
+                [t, jnp.zeros((rem,) + t.shape[1:], t.dtype)], axis=0)
+        t = t.reshape((t.shape[0] // k, k) + t.shape[1:]).sum(axis=1)
+        t = bred_add_lazy(t, q, bred_hi)
+        b = t.shape[0]
+    return t[0]

@@ -46,11 +46,11 @@ class Evaluator:
         p = self.params
         dec = p.decomposer
         coeff = p.ring_q.intt(c2_ntt, level_q)
-        digits = []
-        for d in range(dec.num_digits(level_q)):
-            yq, yp = dec.decompose_single(coeff, level_q, d)
-            digits.append(QPPoly(p.ring_q.ntt(yq, level_q), p.ring_p.ntt(yp)))
-        return qp_stack(digits, axis=-3)
+        # extend ALL digits in coeff domain in one broadcast program, then
+        # ONE batched NTT per ring over the stacked digit axis (the NTT and
+        # the per-digit ModUps dominate the op count)
+        yq, yp = dec.decompose_all(coeff, level_q)
+        return QPPoly(p.ring_q.ntt(yq, level_q), p.ring_p.ntt(yp))
 
     # -- gadget product -------------------------------------------------------------
 
@@ -73,23 +73,18 @@ class Evaluator:
         qmax = max(max(p.q_moduli[:lq]), max(p.p_moduli))
         margin = max(1, ((1 << 64) - 1) // (2 * qmax) - 1)
 
-        acc_q = acc_p = None
-        pending = 0
-        for d in range(beta):
-            tq = modops.mred_lazy(
-                digits.q[..., d, None, :, :], evq[d, :, :lq, :],
-                rq.q[:lq], rq.qinv[:lq])
-            tp = modops.mred_lazy(
-                digits.p[..., d, None, :, :], evp[d], rp.q, rp.qinv)
-            if acc_q is None:
-                acc_q, acc_p = tq, tp
-            else:
-                acc_q, acc_p = acc_q + tq, acc_p + tp
-            pending += 1
-            if pending >= margin and d != beta - 1:
-                acc_q = modops.bred_add_lazy(acc_q, rq.q[:lq], rq.bred_hi[:lq])
-                acc_p = modops.bred_add_lazy(acc_p, rp.q, rp.bred_hi)
-                pending = 1
+        # one broadcast Montgomery MAC over all digits, then a lazy tree
+        # reduction over the digit axis (margin terms per round) — a single
+        # fused XLA op chain instead of a per-digit Python accumulate
+        tq = modops.mred_lazy(
+            digits.q[..., :, None, :, :], evq[:beta, :, :lq, :],
+            rq.q[:lq], rq.qinv[:lq])               # [..., beta, 2, lq, N]
+        tp = modops.mred_lazy(
+            digits.p[..., :, None, :, :], evp[:beta], rp.q, rp.qinv)
+        acc_q = modops.lazy_tree_sum(
+            jnp.moveaxis(tq, -4, 0), rq.q[:lq], rq.bred_hi[:lq], margin)
+        acc_p = modops.lazy_tree_sum(
+            jnp.moveaxis(tp, -4, 0), rp.q, rp.bred_hi, margin)
         acc_q = modops.bred_add(acc_q, rq.q[:lq], rq.bred_hi[:lq])
         acc_p = modops.bred_add(acc_p, rp.q, rp.bred_hi)
         return QPPoly(acc_q, acc_p)

@@ -300,9 +300,55 @@ class KeyGenerator:
         gadget = self.gadget_encrypt(key, sk.value.q, sk_out)
         return GaloisKey(gadget, gal_el)
 
-    def gen_galois_keys(self, key, gal_els: list[int], sk: SecretKey) -> dict[int, GaloisKey]:
+    def gen_galois_keys(self, key, gal_els: list[int], sk: SecretKey,
+                        chunk: int = 8) -> dict[int, GaloisKey]:
+        """All Galois keys in a few jitted+vmapped device calls.
+
+        The per-key work (automorphism gather + gadget encryption) has
+        identical shapes across Galois elements, so the whole set batches
+        over a stacked index tensor — one compile, ceil(G/chunk) device
+        launches — instead of thousands of eager ops over the device link
+        (the reference's analog is goroutine-parallel keygen; the TPU-native
+        analog is a batch axis). ``chunk`` bounds peak device memory
+        (one key at logN=16/30 limbs is ~200 MB).
+        """
+        from lattigo_tpu.ring import automorphism as auto
+        p = self.params
+        if not gal_els:
+            return {}
+        if p.ring_p is None:
+            # base2/P-less paths keep the eager route
+            keys = jax.random.split(key, len(gal_els))
+            return {g: self.gen_galois_key(k, g, sk)
+                    for g, k in zip(gal_els, keys)}
+        ci = p.ring_q.ring_type == "conjugate_invariant"
+        idx_fn = auto._ntt_index_ci_np if ci else auto._ntt_index_np
+        idx_np = np.stack([idx_fn(p.n, p.galois_element_inverse(g))
+                           for g in gal_els])
         keys = jax.random.split(key, len(gal_els))
-        return {g: self.gen_galois_key(k, g, sk) for g, k in zip(gal_els, keys)}
+
+        jit_fn = getattr(self, "_gk_batched_jit", None)
+        if jit_fn is None:
+            def batched(ks, idx, sk_q, sk_p):
+                def one(k, ix):
+                    sk_out = SecretKey(QPPoly(auto.apply_ntt(sk_q, ix),
+                                              auto.apply_ntt(sk_p, ix)))
+                    return self.gadget_encrypt(k, sk_q, sk_out)
+                return jax.vmap(one)(ks, idx)
+            jit_fn = self._gk_batched_jit = jax.jit(batched)
+
+        out: dict[int, GaloisKey] = {}
+        for lo in range(0, len(gal_els), chunk):
+            hi = min(lo + chunk, len(gal_els))
+            ks, idx = keys[lo:hi], idx_np[lo:hi]
+            if hi - lo < chunk:  # pad: reuse the one compiled program
+                pad = chunk - (hi - lo)
+                ks = jnp.concatenate([ks, keys[lo:lo + 1].repeat(pad, 0)])
+                idx = np.concatenate([idx, idx[:1].repeat(pad, 0)])
+            stacked = jit_fn(ks, jnp.asarray(idx), sk.value.q, sk.value.p)
+            for i, g in enumerate(gal_els[lo:hi]):
+                out[g] = GaloisKey(jax.tree.map(lambda x: x[i], stacked), g)
+        return out
 
 
 @struct.dataclass

@@ -21,22 +21,27 @@ def test_preset_chain_layout(preset, name):
     residual, lit = preset
     full, btp = bp.build_bootstrapping_parameters(residual, lit)
     assert full.log_n == residual.log_n
-    # chain covers (c2s + conj-split) + evalmod + s2c + residual + q0 exactly
+    # chain covers c2s + evalmod + s2c + residual + q0 exactly: the
+    # conjugation split and interval map are folded into the C2S matrices
+    # and P-S is depth-exact, matching the reference budget
     depth = BootstrappingEvaluator._mod1_depth(btp.mod1)
-    need = (len(btp.c2s_levels) + 1 + depth + len(btp.s2c_levels)
+    need = (len(btp.c2s_levels) + depth + len(btp.s2c_levels)
             + btp.residual_levels + 1)
     assert len(full.log_q) == need
     # radix splits cover all slots
     log_slots = residual.log_n - 1
     assert sum(btp.c2s_levels) == log_slots
     assert sum(btp.s2c_levels) == log_slots
-    # budget sanity vs the reference's named logQP. Our EvalMod spends two
-    # more levels (explicit interval-map level + P-S final product) and C2S
-    # one more (conjugation split), so the chain runs ~10-20% over the name;
-    # see bootstrapping_presets.py docstring. Tightening is tracked work.
-    named = int(name.split("QP")[1].split("_")[0])
+    # exact logQP of the reference's ASSEMBLED chains (residual + S2C +
+    # EvalMod·Depth() + C2S + P, computed from default_parameters.go
+    # literals; the names N16QP1553/N16QP1793 drifted from the literals in
+    # the reference itself — their actual assembled totals are 1522/1852)
+    expected = {"N16QP1546_H192": 1546, "N16QP1547_H192": 1547,
+                "N16QP1553_H192": 1522, "N15QP768_H192": 768,
+                "N16QP1767_H32768": 1767, "N16QP1788_H32768": 1788,
+                "N16QP1793_H32768": 1852, "N15QP880_H16384": 880}
     log_qp = sum(full.log_q) + sum(full.log_p)
-    assert named <= log_qp < 1.22 * named, (log_qp, named)
+    assert log_qp == expected[name], (log_qp, expected[name])
 
 
 def test_builder_feeds_evaluator():
