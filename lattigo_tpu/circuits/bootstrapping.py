@@ -31,6 +31,14 @@ from lattigo_tpu.circuits.mod1 import Mod1Evaluator, Mod1Parameters
 from lattigo_tpu.rlwe.elements import Ciphertext
 
 
+# Circuit orders (ref bootstrapping/parameters_literal.go:144 CircuitOrder):
+# the standard pipeline, and the "slim" reordering of Chen-Han
+# (ia.cr/2018/067) where homomorphic decoding runs first so a circuit can
+# execute in the coefficient domain between S2C and ModUp.
+MODUP_THEN_ENCODE = "modup-then-encode"   # ScaleDown→ModUp→C2S→EvalMod→S2C
+DECODE_THEN_MODUP = "decode-then-modup"   # S2C→ScaleDown→ModUp→C2S→EvalMod
+
+
 @dataclass
 class BootstrappingParameters:
     """ref bootstrapping/parameters_literal.go:15 (subset)."""
@@ -43,6 +51,8 @@ class BootstrappingParameters:
     # ModUp runs under an ephemeral sparse key of this Hamming weight, which
     # shrinks the EvalMod integer bound K. None disables encapsulation.
     ephemeral_secret_weight: int | None = None
+    # ref parameters_literal.go:147-148 — see MODUP_THEN_ENCODE above.
+    circuit_order: str = MODUP_THEN_ENCODE
 
 
 @struct.dataclass
@@ -70,13 +80,26 @@ class BootstrappingEvaluator:
         n_c2s = len(bts_params.c2s_levels)
         n_s2c = len(bts_params.s2c_levels)
         mod1_depth = self._mod1_depth(bts_params.mod1)
-        # level layout (top to bottom): C2S | EvalMod | S2C | residual | q0
         self.level_c2s_top = L
         self.level_mod1_top = L - n_c2s
-        self.level_s2c_top = self.level_mod1_top - mod1_depth
-        assert self.level_s2c_top - n_s2c >= bts_params.residual_levels, (
-            f"modulus chain too short: need ≥ "
-            f"{n_c2s + mod1_depth + n_s2c + bts_params.residual_levels + 1} levels")
+        if bts_params.circuit_order == MODUP_THEN_ENCODE:
+            # level layout (top to bottom): C2S | EvalMod | S2C | residual | q0
+            self.level_s2c_top = self.level_mod1_top - mod1_depth
+            assert self.level_s2c_top - n_s2c >= bts_params.residual_levels, (
+                f"modulus chain too short: need ≥ "
+                f"{n_c2s + mod1_depth + n_s2c + bts_params.residual_levels + 1} levels")
+        elif bts_params.circuit_order == DECODE_THEN_MODUP:
+            # slim layout (top to bottom): C2S | EvalMod | slots circuit | S2C | q0
+            # S2C sits directly above q0 so the decoded ciphertext lands at
+            # level 0 ready for ModUp (ref slim example chain ordering).
+            self.level_s2c_top = n_s2c
+            assert (self.level_mod1_top - mod1_depth - n_s2c
+                    >= bts_params.residual_levels), (
+                f"modulus chain too short: need ≥ "
+                f"{n_c2s + mod1_depth + n_s2c + bts_params.residual_levels + 1} levels")
+        else:
+            raise ValueError(
+                f"invalid circuit_order {bts_params.circuit_order!r}")
 
         # fold BOTH free constants into the last C2S matrix: the 0.5 of the
         # conjugation split and EvalMod's interval map 2^r/K (resp. 1/K)
@@ -142,13 +165,19 @@ class BootstrappingEvaluator:
     @property
     def minimum_input_level(self) -> int:
         """Lowest level a ciphertext may have on entry (ref
-        bootstrapping/bootstrapper.go MinimumInputLevel); ScaleDown brings
-        the input to level 0 regardless, so any level is acceptable."""
+        bootstrapping/bootstrapper.go MinimumInputLevel). In the standard
+        order ScaleDown brings the input to level 0 regardless, so any
+        level is acceptable; in the slim order the input must still cover
+        the SlotsToCoeffs matrices."""
+        if self.btp.circuit_order == DECODE_THEN_MODUP:
+            return self.level_s2c_top
         return 0
 
     @property
     def output_level(self) -> int:
         """Level of the bootstrapped output (ref OutputLevel)."""
+        if self.btp.circuit_order == DECODE_THEN_MODUP:
+            return self.level_mod1_top - self._mod1_depth(self.btp.mod1)
         return self.level_s2c_top - len(self.btp.s2c_levels)
 
     # -- stages ----------------------------------------------------------------
@@ -181,6 +210,28 @@ class BootstrappingEvaluator:
         # relabel scale to q0: slot values become m/q0 + I
         return ct.replace(value=lifted, is_ntt=True, scale=Fraction(q0))
 
+    def slots_to_coeffs(self, ct: Ciphertext,
+                        ct_im: Ciphertext | None = None) -> Ciphertext:
+        """Homomorphic decoding stage (ref bootstrapper.go SlotsToCoeffs);
+        with ``ct_im=None`` the single complex ciphertext is transformed
+        directly. Public so the slim order can interleave a
+        coefficient-domain circuit (ref slim example step 1)."""
+        if ct.level > self.level_s2c_top:
+            ct = ct.at_level(self.level_s2c_top)
+        if ct_im is not None and ct_im.level > self.level_s2c_top:
+            ct_im = ct_im.at_level(self.level_s2c_top)
+        return self.dft.slots_to_coeffs(ct, ct_im)
+
+    def coeffs_to_slots(self, ct: Ciphertext):
+        """Homomorphic encoding stage (ref bootstrapper.go CoeffsToSlots)."""
+        return self.dft.coeffs_to_slots(ct)
+
+    def eval_mod(self, ct: Ciphertext) -> Ciphertext:
+        """Homomorphic modular reduction stage (ref bootstrapper.go
+        EvalMod). Expects CoeffsToSlots output (the interval map was
+        folded into the C2S matrices)."""
+        return self.mod1.evaluate(ct, pre_mapped=True)
+
     # -- full pipeline ------------------------------------------------------------
 
     def bootstrap(self, ct: Ciphertext,
@@ -193,6 +244,11 @@ class BootstrappingEvaluator:
         """
         ev = self.ev
         p = self.params
+        slim = self.btp.circuit_order == DECODE_THEN_MODUP
+        if slim:
+            # slim order (ref DecodeThenModUp): decode first, so the
+            # message sits in the coefficients before the modulus raise.
+            ct = self.slots_to_coeffs(ct)
         ct0 = self.scale_down(ct)
         delta0 = Fraction(ct0.scale)
         q0 = Fraction(p.q_moduli[0])
@@ -205,7 +261,12 @@ class BootstrappingEvaluator:
         ct_re, ct_im = self.dft.coeffs_to_slots(up)
         ct_re = self.mod1.evaluate(ct_re, pre_mapped=True)
         ct_im = self.mod1.evaluate(ct_im, pre_mapped=True)
-        out = self.dft.slots_to_coeffs(ct_re, ct_im)
+        if slim:
+            # already in the slots domain: recombine the halves (ref slim
+            # example step 6: Mul(imag, 1i); Add(real, imag)).
+            out = ev.add(ct_re, ev.mul_by_i(ct_im))
+        else:
+            out = self.dft.slots_to_coeffs(ct_re, ct_im)
         # undo the q0 relabel: poly = Δ'·m/q0 → scale = Δ'·Δ₀/q0
         return out.replace(scale=Fraction(out.scale) * delta0 / q0)
 

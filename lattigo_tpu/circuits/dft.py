@@ -220,11 +220,15 @@ class DFTEvaluator:
         ct_im = ev.mul_by_i(ev.sub(conj, out))
         return ct_re, ct_im
 
-    def slots_to_coeffs(self, ct_re: Ciphertext, ct_im: Ciphertext) -> Ciphertext:
+    def slots_to_coeffs(self, ct_re: Ciphertext,
+                        ct_im: Ciphertext | None = None) -> Ciphertext:
         """(ct_re, ct_im) → ct whose poly coefficients are the slot values
-        (ref SlotsToCoeffs dft.go:318)."""
+        (ref SlotsToCoeffs dft.go:318). ``ct_im=None`` transforms a single
+        complex-slot ciphertext directly (ref dft.go:329 ctImag==nil — the
+        slim bootstrapping entry point, where the i-recombination is
+        skipped because the input already packs both halves)."""
         ev = self.ev
-        ct = ev.add(ct_re, ev.mul_by_i(ct_im))
+        ct = ct_re if ct_im is None else ev.add(ct_re, ev.mul_by_i(ct_im))
         out = ct
         for lt in self.s2c_mats:
             out = ev.rescale(self.lt_ev.evaluate(out, lt))

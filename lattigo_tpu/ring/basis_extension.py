@@ -94,6 +94,16 @@ class ModUpConstants:
         # u64 PLAIN, so the contraction runs as raw multiply-accumulate with
         # one Barrett reduction per output element — ~4x fewer VPU ops than
         # per-term Montgomery (the ModUp analog of modops' engine32).
+        # Cross-size hazard: when every dst prime is below the u32
+        # fast-path bound but a src prime is not, mred_lazy(y_i, ·) would
+        # take the 32-bit Montgomery path with a 30+-bit operand a=y_i,
+        # overflowing its a·b < 2^64 contract (seen as exact corruption for
+        # src primes ≥ 2^52 with T=2^16+1 — the BGV decode Q→T conversion).
+        # mod_up pre-reduces y mod the dst primes in that case.
+        self.prereduce_src = (
+            max(dst_moduli) < (1 << modops.SMALL_Q_BITS)
+            <= max(src_moduli))
+
         self.small = max(src_moduli + dst_moduli) < (1 << 30)
         if self.small:
             qhat_plain = np.zeros((Li, Lj), dtype=_U64)
@@ -217,7 +227,11 @@ def mod_up(x, consts: ModUpConstants, dst_q, dst_qinv, dst_bhi, centered: bool =
         acc = acc + v[..., None, :] * consts.qneg_plain[:, None]
         return modops.bred_add(acc, dst_q, dst_bhi)
 
-    t = modops.mred_lazy(y[..., :, None, :], consts.qhat_dst[:, :, None],
+    yb = y[..., :, None, :]
+    if consts.prereduce_src:
+        # keep the u32 fast path's a < 4q contract (see ModUpConstants)
+        yb = modops.bred_add(yb, dst_q, dst_bhi)
+    t = modops.mred_lazy(yb, consts.qhat_dst[:, :, None],
                          dst_q, dst_qinv)                  # [..., Li, Lj, N]
     acc = modops.lazy_tree_sum(jnp.moveaxis(t, -3, 0), dst_q, dst_bhi,
                                consts.margin)

@@ -50,13 +50,13 @@ def ctx():
                 btp_params=btp_params, k_ct=k_ct)
 
 
-def _fresh_ct(ctx, seed=1):
+def _fresh_ct(ctx, seed=1, level=0):
     params, enc = ctx["params"], ctx["enc"]
     rng = np.random.default_rng(seed)
     v = (rng.uniform(-1, 1, params.max_slots)
          + 1j * rng.uniform(-1, 1, params.max_slots))
     ct = rlwe.Encryptor(params, ctx["sk"]).encrypt(
-        ctx["k_ct"], enc.encode(v)).at_level(0)
+        ctx["k_ct"], enc.encode(v)).at_level(level)
     return v, ct
 
 
@@ -91,6 +91,76 @@ def test_bootstrap_sparse_encapsulated(ctx):
     prec = _precision(ctx, out, v)
     print(f"sparse bootstrap precision: {prec:.1f} bits")
     assert prec >= 8.0, f"bootstrap precision too low: {prec:.1f} bits"
+
+
+def test_bootstrap_slim_decode_then_modup(ctx):
+    """Slim circuit order (ref DecodeThenModUp, ia.cr/2018/067): S2C →
+    ScaleDown → ModUp → C2S → EvalMod. Output stays in the slots domain."""
+    params, sk = ctx["params"], ctx["sk"]
+    btp = bts.BootstrappingEvaluator(
+        params, ctx["btp"].ev, ctx["enc"],
+        bts.BootstrappingParameters(
+            c2s_levels=[4, 3], s2c_levels=[4, 3],
+            mod1=Mod1Parameters(k=16, degree=30, double_angle=4,
+                                log_message_ratio=10),
+            residual_levels=1,
+            circuit_order=bts.DECODE_THEN_MODUP))
+    assert btp.minimum_input_level == 2
+    v, ct = _fresh_ct(ctx, seed=4, level=btp.minimum_input_level)
+    out = btp.bootstrap(ct)
+    assert out.level == btp.output_level
+    assert out.level > btp.minimum_input_level  # levels were regained
+    prec = _precision(ctx, out, v)
+    print(f"slim bootstrap precision: {prec:.1f} bits (out level {out.level})")
+    assert prec >= 8.0, f"slim bootstrap precision too low: {prec:.1f} bits"
+
+
+def test_bootstrap_slim_staged_coeff_circuit(ctx):
+    """Manual slim staging with a circuit in the coefficient domain
+    (ref slim example step 2: multiply by the monomial X^{N/2} = the
+    imaginary unit in the slots domain)."""
+    import jax.numpy as jnp
+    from fractions import Fraction
+
+    params, sk = ctx["params"], ctx["sk"]
+    btp = bts.BootstrappingEvaluator(
+        params, ctx["btp"].ev, ctx["enc"],
+        bts.BootstrappingParameters(
+            c2s_levels=[4, 3], s2c_levels=[4, 3],
+            mod1=Mod1Parameters(k=16, degree=30, double_angle=4,
+                                log_message_ratio=10),
+            residual_levels=1,
+            circuit_order=bts.DECODE_THEN_MODUP))
+    ev = btp.ev
+    v, ct = _fresh_ct(ctx, seed=5, level=btp.minimum_input_level)
+
+    # Step 1: homomorphic decoding.
+    ct = btp.slots_to_coeffs(ct)
+    # Step 2: coefficient-domain circuit — negacyclic shift by N/2
+    # (multiply by X^{N/2}), which is mul-by-i on the slot values.
+    n = params.n
+    ring = params.ring_q
+    val = ct.value
+    if ct.is_ntt:
+        val = ring.intt(val, ct.level)
+    shifted = jnp.roll(val, n // 2, axis=-1)
+    idx = jnp.arange(n) < n // 2
+    q = ring.q[: ct.level + 1, None]
+    neg = jnp.where(shifted == 0, shifted, q - shifted)
+    val = jnp.where(idx, neg, shifted)
+    ct = ct.replace(value=ring.ntt(val, ct.level), is_ntt=True)
+    # Steps 3-6: ScaleDown → ModUp → C2S → EvalMod.
+    ct0 = btp.scale_down(ct)
+    delta0, q0 = Fraction(ct0.scale), Fraction(params.q_moduli[0])
+    up = btp.mod_up(ct0)
+    ct_re, ct_im = btp.coeffs_to_slots(up)
+    ct_re, ct_im = btp.eval_mod(ct_re), btp.eval_mod(ct_im)
+    out = ev.add(ct_re, ev.mul_by_i(ct_im))
+    out = out.replace(scale=Fraction(out.scale) * delta0 / q0)
+
+    prec = _precision(ctx, out, 1j * v)
+    print(f"slim staged (·X^(N/2)) precision: {prec:.1f} bits")
+    assert prec >= 8.0, f"precision too low: {prec:.1f} bits"
 
 
 def test_bootstrap_meta_iterations(ctx):

@@ -69,3 +69,15 @@ def test_ckks_vectorized_polynomial_evaluation():
 
 def test_ckks_bootstrapping_high_precision():
     _run("ckks_bootstrapping_high_precision")
+
+
+def test_template_ckks():
+    _run("template_ckks")
+
+
+def test_template_bgv():
+    _run("template_bgv")
+
+
+def test_ckks_bootstrapping_slim():
+    _run("ckks_bootstrapping_slim")

@@ -232,3 +232,34 @@ def test_mod_up_mxu_contraction_bit_exact():
         v = be._overflow_count(y, consts, centered)
         got = np.asarray(be._mod_up_contract_mxu(y, v, consts, dst_q, bh))
         np.testing.assert_array_equal(got, want)
+
+
+def test_mod_up_large_src_to_small_dst_exact():
+    """Regression: Q→{T} conversion with ≥2^52 source primes and a tiny
+    destination modulus (the BGV decode path). The dst-small Montgomery
+    fast path must not see unreduced 52+-bit operands (a·b overflowed u64
+    and corrupted every coefficient)."""
+    from lattigo_tpu.ring import basis_extension as be
+    from lattigo_tpu.ring import modops
+    from lattigo_tpu.utils.primes import NTTFriendlyPrimesGenerator
+
+    t = 0x10001
+    n = 512
+    for log_q0 in (46, 52, 55, 60):
+        g0 = NTTFriendlyPrimesGenerator(log_q0, 2048)
+        g1 = NTTFriendlyPrimesGenerator(45, 2048)
+        src = [g0.next_alternating_prime(),
+               g1.next_alternating_prime(), g1.next_alternating_prime()]
+        consts = be.ModUpConstants(src, [t])
+        assert consts.prereduce_src == (log_q0 >= modops.SMALL_Q_BITS or
+                                        45 >= modops.SMALL_Q_BITS)
+        rng = np.random.default_rng(log_q0)
+        xs = rng.integers(-(t // 2), t // 2, n)
+        resid = jnp.asarray(np.stack(
+            [np.mod(xs, q) for q in src]).astype(np.uint64))
+        dst_q = np.array([t], np.uint64)[:, None]
+        dst_qinv = np.array([modops.gen_mred_constant(t)], np.uint64)[:, None]
+        bh = np.array([modops.gen_bred_constant(t)[0]], np.uint64)[:, None]
+        got = np.asarray(be.mod_up(resid, consts, dst_q, dst_qinv, bh,
+                                   centered=True))[0]
+        np.testing.assert_array_equal(got, np.mod(xs, t).astype(np.uint64))
