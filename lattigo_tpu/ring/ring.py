@@ -277,6 +277,26 @@ class Ring:
         ]
         return np.array(vals, dtype=_U64).reshape(l + 1, 1)
 
+    def mul_by_monomial(self, a, k: int, level: int | None = None):
+        """a·X^k in the coefficient domain (ref ring/operations.go:306
+        MultByMonomial): a negacyclic roll — coefficients that wrap past
+        X^N pick up a sign flip (X^N = −1). k may be any integer.
+        """
+        n = self.n
+        shift = k % (2 * n)
+        if shift == 0:
+            return a
+        q, _, bhi, _ = self.tables(level)
+        s = shift % n
+        rolled = jnp.roll(a, s, axis=-1) if s else a
+        # after rolling right by s, the first s outputs wrapped once; a
+        # shift in [n, 2n) flips the whole polynomial once more
+        wrapped = jnp.arange(n) < s
+        if shift >= n:
+            wrapped = ~wrapped
+        return jnp.where(wrapped, modops.neg_mod(self.reduce(rolled, level), q),
+                         rolled)
+
     # -- NTT ------------------------------------------------------------------
 
     @functools.cached_property

@@ -170,6 +170,10 @@ class KeyedPRNG:
     seeded (compressed) ciphertexts — the role of the reference's blake2b
     XOF KeyedPRNG. (Wire-compatibility with Go's x/crypto XOF is not
     claimed; determinism across parties sharing the seed is.)
+
+    Backed by the native C++ XOF (:mod:`lattigo_tpu.native`) when a
+    compiler is available; the pure-Python hashlib path below is
+    bit-identical (gated by tests/test_native.py) and used as fallback.
     """
 
     def __init__(self, key: bytes = b""):
@@ -177,6 +181,12 @@ class KeyedPRNG:
         self.counter = 0
 
     def read_u64(self, count: int) -> np.ndarray:
+        from lattigo_tpu import native
+
+        got = native.xof_fill_u64(self.key[:64], self.counter, count)
+        if got is not None:
+            out, self.counter = got
+            return out
         words = []
         while len(words) * 8 < count * 8:
             h = hashlib.blake2b(
@@ -190,10 +200,17 @@ class KeyedPRNG:
 
     def uniform_poly(self, ring, level: int | None = None) -> jnp.ndarray:
         """Uniform [L, N] poly (128-bit reduction, bias < 2^-67)."""
+        from lattigo_tpu import native
+
         l = (ring.max_level if level is None else level) + 1
         out = np.zeros((l, ring.n), dtype=np.uint64)
         for i in range(l):
             q = ring.moduli[i]
+            got = native.xof_uniform_mod_q(
+                self.key[:64], self.counter, q, ring.n)
+            if got is not None:
+                out[i], self.counter = got
+                continue
             hi = self.read_u64(ring.n).astype(object)
             lo = self.read_u64(ring.n).astype(object)
             out[i] = (((hi << 64) | lo) % q).astype(np.uint64)

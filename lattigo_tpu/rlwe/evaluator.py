@@ -275,6 +275,29 @@ class Evaluator:
                 cur = f(cur, self.rotate_columns(cur, (m >> 1) * batch))
         return acc
 
+    def partial_traces_sum(self, ct: Ciphertext, offset: int,
+                           n: int) -> Ciphertext:
+        """Σ_{i<n} φ_{i·offset}(ct) with ONE gadget decomposition of c1
+        (ref inner_sum.go:147 PartialTracesSum): the hoisted linear-depth
+        alternative to :meth:`inner_sum` — n−1 automorphism keys but a
+        single decompose, best when n is small or the rotations are
+        reused nowhere else."""
+        if n == 1 or offset == 0:
+            return ct
+        p = self.params
+        level = ct.level
+        digits = self.decompose_ntt(ct.value[..., 1, :, :], level)
+        acc = ct.value
+        for i in range(1, n):
+            rot = self.automorphism_hoisted(
+                ct, digits, p.galois_element(i * offset))
+            acc = p.ring_q.add(acc, rot.value, level)
+        return ct.replace(value=acc)
+
+    def galois_elements_for_partial_traces_sum(self, offset: int,
+                                               n: int) -> list[int]:
+        return [self.params.galois_element(i * offset) for i in range(1, n)]
+
     def inner_sum(self, ct: Ciphertext, batch: int, n: int) -> Ciphertext:
         """Σ_{i<n} rot(ct, i·batch), log-depth, any n (ref inner_sum.go:317):
         :meth:`inner_function` with homomorphic addition as the combine."""

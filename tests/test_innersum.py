@@ -104,3 +104,50 @@ def test_inner_function_product_fold():
     for i in range(n):
         want = want * np.roll(v, -i * batch)
     ckks.verify_test_vectors(want, got, min_precision=15.0)
+
+
+def test_mul_by_monomial_matches_bigint_oracle():
+    """Ring.mul_by_monomial vs schoolbook negacyclic shift (ref
+    ring/operations.go:306)."""
+    import jax.numpy as jnp
+    from lattigo_tpu.ring.ring import Ring
+    from lattigo_tpu.utils.primes import NTTFriendlyPrimesGenerator
+
+    n = 32
+    q = NTTFriendlyPrimesGenerator(40, 2 * n).next_alternating_prime()
+    ring = Ring(n, [q])
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, q, (1, n), dtype=np.uint64)
+    for k in [0, 1, 5, n - 1, n, n + 3, 2 * n - 1, -1, -n, 3 * n + 2]:
+        got = np.asarray(ring.mul_by_monomial(jnp.asarray(a), k))
+        want = np.zeros(n, dtype=object)
+        for j in range(n):
+            d = (j + k) % (2 * n)
+            sign = 1 if d < n else -1
+            want[d % n] = (want[d % n] + sign * int(a[0, j])) % q
+        assert np.array_equal(got[0], want.astype(np.uint64)), k
+
+
+def test_partial_traces_sum_matches_rotation_fold():
+    """Hoisted PartialTracesSum (ref inner_sum.go:147) == plaintext fold."""
+    params = ckks.Parameters(ckks.ParametersLiteral(
+        log_n=9, log_q=(50, 40), log_p=(55,), log_default_scale=40))
+    kgen = rlwe.KeyGenerator(params)
+    k_sk, k_gk, k_ct = jax.random.split(jax.random.PRNGKey(5), 3)
+    sk = kgen.gen_secret_key(k_sk)
+    enc = ckks.Encoder(params)
+
+    offset, n_rot = 2, 3
+    ev0 = ckks.Evaluator(params)
+    gks = kgen.gen_galois_keys(
+        k_gk, ev0.galois_elements_for_partial_traces_sum(offset, n_rot), sk)
+    ev = ckks.Evaluator(params, rlwe.EvaluationKeySet(galois_keys=gks))
+
+    slots = params.max_slots
+    rng = np.random.default_rng(1)
+    v = rng.uniform(-1, 1, slots)
+    ct = rlwe.Encryptor(params, sk).encrypt(k_ct, enc.encode(v))
+    out = ev.partial_traces_sum(ct, offset, n_rot)
+    got = np.real(enc.decode(rlwe.Decryptor(params, sk).decrypt(out)))
+    want = sum(np.roll(v, -i * offset) for i in range(n_rot))
+    ckks.verify_test_vectors(want, got, min_precision=20.0)
