@@ -28,11 +28,18 @@ def main(log_n: int = 13, batch: int = 1, preset: str | None = None):
         residual, lit = getattr(bp, preset)
         log_n = residual.log_n
     else:
+        # Sparse H=192 main secret: the Mod1 default K=16 covers the mod-up
+        # lift integers only for sparse secrets (the reference's dense
+        # default sets pair K=16 with an H=32 ephemeral secret instead,
+        # default_parameters.go:123-186); a dense secret here would push
+        # |I| far past K and EvalMod would return garbage.
+        from lattigo_tpu.ring.sampling import Ternary
         residual = ckks.ParametersLiteral(
             log_n=log_n,
             log_q=(55, 45, 45, 45),
             log_p=(60, 60),
             log_default_scale=45,
+            xs=Ternary(hamming_weight=192),
         )
         lit = bp.BootstrappingLiteral(
             c2s_log_scales=[[56], [56], [56]],

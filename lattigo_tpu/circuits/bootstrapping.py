@@ -72,6 +72,10 @@ class BootstrappingEvaluator:
         self.ev = ckks_eval
         self.encoder = encoder
         self.btp = bts_params
+        # Plaintext-side tracing hook (ref bootstrapping/evaluator.go:22-48
+        # SkDebug): set to the secret key to print per-stage decryptions
+        # when running eagerly (outside jit). See :meth:`with_sk_debug`.
+        self.sk_debug = None
 
         L = params.max_level
         # C2S consumes exactly one matrix level per entry: the 0.5
@@ -116,6 +120,29 @@ class BootstrappingEvaluator:
             level_q_s2c=self.level_s2c_top,
             c2s_scaling=0.5 * in_const)
         self.mod1 = Mod1Evaluator(ckks_eval, bts_params.mod1)
+
+    def with_sk_debug(self, sk) -> "BootstrappingEvaluator":
+        """Enable plaintext-side stage tracing (ref SkDebug,
+        bootstrapping/evaluator.go:22-48): every pipeline stage of an
+        *eager* (non-jitted) :meth:`bootstrap` call decrypts its output
+        and prints level / scale / magnitude. A no-op under jit — tracers
+        cannot be decrypted; run the eager path to debug."""
+        self.sk_debug = sk
+        return self
+
+    def _debug(self, tag: str, ct: Ciphertext) -> None:
+        if self.sk_debug is None:
+            return
+        import jax
+        if isinstance(ct.value, jax.core.Tracer):
+            return
+        from lattigo_tpu.rlwe.encryption import Decryptor
+        got = self.encoder.decode(
+            Decryptor(self.params, self.sk_debug).decrypt(ct))
+        mag = float(np.abs(got).max())
+        print(f"[sk_debug] {tag}: level={ct.level} "
+              f"scale=2^{float(np.log2(float(ct.scale))):.2f} "
+              f"|slots|max={mag:.4g}")
 
     @staticmethod
     def _mod1_depth(m1: Mod1Parameters) -> int:
@@ -183,8 +210,25 @@ class BootstrappingEvaluator:
     # -- stages ----------------------------------------------------------------
 
     def scale_down(self, ct: Ciphertext) -> Ciphertext:
-        """Rescale to level 0 (ref :566). The remaining scale defines Δ₀."""
+        """Bring the ciphertext to level 0 at scale Δ₀ ≈ q0/2^log_message_ratio
+        (ref ScaleDown :566): multiplies by round((Q_l/Δ)/(q0/2^mr)) — pinning
+        the message ratio the Mod1 approximation was generated for — then
+        rescales to level 0. Exact-Fraction labels keep the (tiny) rounding
+        drift visible to the final relabel."""
         ev = self.ev
+        p = self.params
+        mr = Fraction(2) ** self.btp.mod1.log_message_ratio
+        # current message ratio Q_l/Δ over the target 2^mr: multiplying by
+        # its rounding and rescaling by q_1..q_l lands Δ₀ ≈ q0/2^mr
+        cur_ratio = Fraction(p.q_big_int(ct.level)) / Fraction(ct.scale)
+        s_int = int(cur_ratio / mr + Fraction(1, 2))
+        if s_int < 1:
+            raise ValueError(
+                f"initial Q/scale = 2^{float(np.log2(float(cur_ratio))):.1f} "
+                f"below the target message ratio 2^{self.btp.mod1.log_message_ratio}"
+                " — lower log_message_ratio or the input scale")
+        if s_int > 1:
+            ct = ev.scale_up(ct, s_int)
         while ct.level > 0:
             ct = ev.rescale(ct)
         return ct
@@ -253,14 +297,20 @@ class BootstrappingEvaluator:
         delta0 = Fraction(ct0.scale)
         q0 = Fraction(p.q_moduli[0])
 
+        self._debug("scale_down", ct0)
         if keys is not None and keys.evk_dense_to_sparse is not None:
             ct0 = ev.apply_evaluation_key(ct0, keys.evk_dense_to_sparse)
         up = self.mod_up(ct0)
         if keys is not None and keys.evk_sparse_to_dense is not None:
             up = ev.apply_evaluation_key(up, keys.evk_sparse_to_dense)
+        self._debug("mod_up", up)
         ct_re, ct_im = self.dft.coeffs_to_slots(up)
+        self._debug("coeffs_to_slots re", ct_re)
+        self._debug("coeffs_to_slots im", ct_im)
         ct_re = self.mod1.evaluate(ct_re, pre_mapped=True)
         ct_im = self.mod1.evaluate(ct_im, pre_mapped=True)
+        self._debug("eval_mod re", ct_re)
+        self._debug("eval_mod im", ct_im)
         if slim:
             # already in the slots domain: recombine the halves (ref slim
             # example step 6: Mul(imag, 1i); Add(real, imag)).
@@ -268,7 +318,9 @@ class BootstrappingEvaluator:
         else:
             out = self.dft.slots_to_coeffs(ct_re, ct_im)
         # undo the q0 relabel: poly = Δ'·m/q0 → scale = Δ'·Δ₀/q0
-        return out.replace(scale=Fraction(out.scale) * delta0 / q0)
+        out = out.replace(scale=Fraction(out.scale) * delta0 / q0)
+        self._debug("slots_to_coeffs (final)", out)
+        return out
 
     def bootstrap_meta(self, ct: Ciphertext, iterations: int = 2,
                        log_prec: int = 8,
