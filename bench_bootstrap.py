@@ -66,7 +66,11 @@ def main(log_n: int = 13, batch: int = 1, preset: str | None = None):
     ev = ckks.Evaluator(params, rlwe.EvaluationKeySet(
         relinearization_key=rlk, galois_keys=gks))
     b.with_evaluator(ev)
-    print(f"[{time.time()-t:.1f}s] {len(b.galois_elements())} galois keys",
+    keys = None
+    if lit.ephemeral_secret_weight is not None:
+        keys = b.gen_encapsulation_keys(jax.random.PRNGKey(7), sk)
+    print(f"[{time.time()-t:.1f}s] {len(b.galois_elements())} galois keys"
+          f"{' + encapsulation EVKs' if keys is not None else ''}",
           file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(1)
@@ -76,7 +80,7 @@ def main(log_n: int = 13, batch: int = 1, preset: str | None = None):
     ct = ct.at_level(b.minimum_input_level)
 
     t0 = time.time()
-    fn = b.jitted(ct)
+    fn = b.jitted(ct, keys=keys)
     out = fn(ct)
     jax.block_until_ready(out.value)
     compile_s = time.time() - t0

@@ -209,6 +209,23 @@ class BootstrappingEvaluator:
 
     # -- stages ----------------------------------------------------------------
 
+    def _scale_down_factor(self, level: int, scale):
+        """(integer scale-up, current message ratio) of ScaleDown at
+        (level, scale) — shared by :meth:`scale_down` and the jitted
+        wrapper's metadata-only Δ₀ computation."""
+        mr = Fraction(2) ** self.btp.mod1.log_message_ratio
+        cur_ratio = Fraction(self.params.q_big_int(level)) / Fraction(scale)
+        return int(cur_ratio / mr + Fraction(1, 2)), cur_ratio
+
+    def scale_down_label(self, level: int, scale) -> Fraction:
+        """Δ₀ that :meth:`scale_down` produces from (level, scale) — pure
+        metadata (the jitted pipeline uses this to relabel the output)."""
+        s_int, _ = self._scale_down_factor(level, scale)
+        s = Fraction(scale) * max(s_int, 1)
+        for l in range(level, 0, -1):
+            s /= Fraction(self.params.q_moduli[l])
+        return s
+
     def scale_down(self, ct: Ciphertext) -> Ciphertext:
         """Bring the ciphertext to level 0 at scale Δ₀ ≈ q0/2^log_message_ratio
         (ref ScaleDown :566): multiplies by round((Q_l/Δ)/(q0/2^mr)) — pinning
@@ -217,11 +234,7 @@ class BootstrappingEvaluator:
         drift visible to the final relabel."""
         ev = self.ev
         p = self.params
-        mr = Fraction(2) ** self.btp.mod1.log_message_ratio
-        # current message ratio Q_l/Δ over the target 2^mr: multiplying by
-        # its rounding and rescaling by q_1..q_l lands Δ₀ ≈ q0/2^mr
-        cur_ratio = Fraction(p.q_big_int(ct.level)) / Fraction(ct.scale)
-        s_int = int(cur_ratio / mr + Fraction(1, 2))
+        s_int, cur_ratio = self._scale_down_factor(ct.level, ct.scale)
         if s_int < 1:
             raise ValueError(
                 f"initial Q/scale = 2^{float(np.log2(float(cur_ratio))):.1f} "
@@ -480,9 +493,7 @@ class BootstrappingEvaluator:
             lambda a, b: self.dft.slots_to_coeffs(a, b), [ex_m, ex_m])
 
         # Δ₀ after ScaleDown (pure metadata) for the final q0 relabel
-        delta0 = Fraction(example.scale)
-        for l in range(example.level, 0, -1):
-            delta0 /= Fraction(p.q_moduli[l])
+        delta0 = self.scale_down_label(example.level, example.scale)
         q0 = Fraction(p.q_moduli[0])
 
         def wrapped(ct: Ciphertext) -> Ciphertext:

@@ -51,13 +51,17 @@ class Evaluator(RlweEvaluator):
         if s1 < s0:
             ct1m, ct0m = self._match_scales(ct1, ct0)
             return ct0m, ct1m
-        ri = int(s1 / s0)  # floor
+        # ROUND the integer ratio: planned scales divide by the actual chain
+        # primes (2^b + δ), so ratios systematically land just below exact
+        # powers (e.g. 1024·(1−2^-41)); flooring would multiply by 1023 and
+        # fold a 2^-10 relative error into the message, rounding leaves ~δ.
+        ri = int(s1 / s0 + Fraction(1, 2))
         if ri > 1:
             v = self.params.ring_q.mul_scalar(ct0.value, ri, ct0.level)
             ct0 = ct0.replace(value=v, scale=s0 * ri)
             s0 = s0 * ri
         rel = float(s1 / s0)
-        if not (1.0 <= rel < 1.01):
+        if not (0.99 < rel < 1.01):
             raise ValueError(f"scale mismatch too large to fold: {s0} vs {s1}")
         return ct0.replace(scale=s1), ct1
 
@@ -102,20 +106,21 @@ class Evaluator(RlweEvaluator):
         s0, s1 = Fraction(ct.scale), Fraction(pt.scale)
         if s0 == s1:
             return ct, pt
+        # round, not floor — see _match_scales
         if s1 > s0:
-            ri = int(s1 / s0)
+            ri = int(s1 / s0 + Fraction(1, 2))
             if ri > 1:
                 v = self.params.ring_q.mul_scalar(ct.value, ri, ct.level)
                 ct = ct.replace(value=v, scale=s0 * ri)
                 s0 = s0 * ri
         else:
-            ri = int(s0 / s1)
+            ri = int(s0 / s1 + Fraction(1, 2))
             if ri > 1:
                 v = self.params.ring_q.mul_scalar(pt.value, ri, pt.level)
                 pt = pt.replace(value=v, scale=s1 * ri)
                 s1 = s1 * ri
         rel = float(max(s0, s1) / min(s0, s1))
-        if not (1.0 <= rel < 1.01):
+        if not (0.99 < rel < 1.01):
             raise ValueError(f"ct/pt scale mismatch too large to fold: {s0} vs {s1}")
         hi = max(s0, s1)
         return ct.replace(scale=hi), pt.replace(scale=hi)
