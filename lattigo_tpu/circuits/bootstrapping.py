@@ -105,20 +105,30 @@ class BootstrappingEvaluator:
             raise ValueError(
                 f"invalid circuit_order {bts_params.circuit_order!r}")
 
-        # fold BOTH free constants into the last C2S matrix: the 0.5 of the
-        # conjugation split and EvalMod's interval map 2^r/K (resp. 1/K)
-        # (ref bootstrapping/evaluator.go:190 C2SScaling = qDiv/(K·qDiff))
+        # fold ALL free constants into the last C2S matrix: the 0.5 of the
+        # conjugation split, EvalMod's interval map 2^r/K (resp. 1/K), and
+        # — when the mod1 working scale is pinned — the anticipation factor
+        # 2^log_scale/q0 that the post-C2S relabel divides back out
+        # (ref bootstrapping/evaluator.go:190 C2SScaling = qDiv/(K·qDiff)).
         m1 = bts_params.mod1
         from lattigo_tpu.circuits.mod1 import COS_DISCRETE
         in_const = (m1.sc_fac / m1.k if m1.mod1_type == COS_DISCRETE
                     else 1.0 / m1.k)
+        # Pinning the working scale keeps the Chebyshev power basis at the
+        # (≈ equal) EvalMod chain primes instead of drifting by Δ_in/q_em
+        # per doubling — drifting scales amplify RLWE noise into message
+        # error (measured: 6+ bits at logN=13 with Δ_in=q0=2^55, q_em=2^60).
+        self._mod1_scale = (None if m1.log_scale is None
+                           else Fraction(2) ** m1.log_scale)
+        anticipate = (1.0 if self._mod1_scale is None
+                      else float(self._mod1_scale / Fraction(params.q_moduli[0])))
         self.dft = dft_mod.DFTEvaluator(
             params, ckks_eval, encoder,
             c2s_levels=bts_params.c2s_levels,
             s2c_levels=bts_params.s2c_levels,
             level_q_c2s=self.level_c2s_top,
             level_q_s2c=self.level_s2c_top,
-            c2s_scaling=0.5 * in_const)
+            c2s_scaling=0.5 * in_const * anticipate)
         self.mod1 = Mod1Evaluator(ckks_eval, bts_params.mod1)
 
     def with_sk_debug(self, sk) -> "BootstrappingEvaluator":
@@ -280,8 +290,17 @@ class BootstrappingEvaluator:
         return self.dft.slots_to_coeffs(ct, ct_im)
 
     def coeffs_to_slots(self, ct: Ciphertext):
-        """Homomorphic encoding stage (ref bootstrapper.go CoeffsToSlots)."""
-        return self.dft.coeffs_to_slots(ct)
+        """Homomorphic encoding stage (ref bootstrapper.go CoeffsToSlots).
+
+        When the mod1 working scale is pinned, the outputs are RELABELED to
+        2^log_scale (exact metadata division that undoes the anticipation
+        factor folded into the C2S matrices — ref EvaluateAndScaleNew's
+        ``res.Scale = evm.ScalingFactor()``, mod1_evaluator.go:46)."""
+        ct_re, ct_im = self.dft.coeffs_to_slots(ct)
+        if self._mod1_scale is not None:
+            ct_re = ct_re.replace(scale=self._mod1_scale)
+            ct_im = ct_im.replace(scale=self._mod1_scale)
+        return ct_re, ct_im
 
     def eval_mod(self, ct: Ciphertext) -> Ciphertext:
         """Homomorphic modular reduction stage (ref bootstrapper.go
@@ -317,7 +336,7 @@ class BootstrappingEvaluator:
         if keys is not None and keys.evk_sparse_to_dense is not None:
             up = ev.apply_evaluation_key(up, keys.evk_sparse_to_dense)
         self._debug("mod_up", up)
-        ct_re, ct_im = self.dft.coeffs_to_slots(up)
+        ct_re, ct_im = self.coeffs_to_slots(up)
         self._debug("coeffs_to_slots re", ct_re)
         self._debug("coeffs_to_slots im", ct_im)
         ct_re = self.mod1.evaluate(ct_re, pre_mapped=True)
@@ -422,9 +441,16 @@ class BootstrappingEvaluator:
         # installed back onto the evaluator objects.
         has_keys = keys is not None
 
+        # NTT weight tables (MXU kernels) are device arrays of up to
+        # hundreds of MB at logN>=15: closed over a jit they inline as HLO
+        # constants and exhaust memory, so they ride the state dict too
+        # (see ring/tables.py).
+        from lattigo_tpu.ring.tables import TableThreader
+        threader = TableThreader(p.ring_q, p.ring_p)
+
         def big_state():
             st = dict(evk=self.ev.evk, c2s=self.dft.c2s_mats,
-                      s2c=self.dft.s2c_mats)
+                      s2c=self.dft.s2c_mats, ntt=threader.state())
             if has_keys:
                 st["keys"] = keys
             return st
@@ -435,6 +461,7 @@ class BootstrappingEvaluator:
             self.ev.evk = st["evk"]
             self.dft.c2s_mats = st["c2s"]
             self.dft.s2c_mats = st["s2c"]
+            threader.install(st["ntt"])
             if has_keys:
                 keys = st["keys"]
             return old
@@ -486,7 +513,7 @@ class BootstrappingEvaluator:
             return up
 
         f_pre, (ex_up,) = jit_stage(pre, [example])
-        f_c2s, (ex_re, ex_im) = jit_stage(self.dft.coeffs_to_slots, [ex_up])
+        f_c2s, (ex_re, ex_im) = jit_stage(self.coeffs_to_slots, [ex_up])
         f_mod1, (ex_m,) = jit_stage(
             lambda ct: self.mod1.evaluate(ct, pre_mapped=True), [ex_re])
         f_s2c, (ex_out,) = jit_stage(

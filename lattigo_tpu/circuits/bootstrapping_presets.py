@@ -44,6 +44,16 @@ class BootstrappingLiteral:
     ``s2c_log_scales`` / ``c2s_log_scales``: one inner list per
     linear-transform level, holding the log2 scales consumed by that level
     (ref SlotsToCoeffs/CoeffsToSlotsFactorizationDepthAndLogScales).
+
+    ``mod1_k`` and ``ephemeral_secret_weight`` are coupled: the mod-up lift
+    integers are an Irwin–Hall sum of ``H`` signed uniforms whose SUPPORT is
+    exactly ±H/2, so the default K=16 is the hard bound of an H=32 secret
+    (the reference's 2^-138.7 failure probability is the corner volume of
+    that sum near ±16, parameters_literal.go:27). Disabling encapsulation
+    (``ephemeral_secret_weight=None``) under a denser main secret makes |I|
+    overflow K on a few slots per ciphertext and silently costs the whole
+    output's max-error precision — keep K ≥ H/2 of whichever secret is live
+    during ModUp.
     """
 
     c2s_log_scales: list[list[int]] = field(
@@ -74,6 +84,13 @@ def build_bootstrapping_parameters(
     """(full-chain CKKS literal, evaluator parameters) from residual params
     + bootstrapping literal (ref bootstrapping/parameters.go:51)."""
     lit = BootstrappingLiteral() if lit is None else lit
+    # NOTE: Mod1Parameters.log_scale (the reference's EvalModLogScale
+    # working-scale pinning) is available but left None here: with exact
+    # Fraction scale bookkeeping the unpinned evaluation measured equal or
+    # better end-to-end precision (the power-basis scale drift is
+    # compensated by Chebyshev value growth, and constant scales absorb
+    # the difference exactly), and pinning costs one extra relabel + the
+    # anticipation factor in the C2S constants.
     mod1 = Mod1Parameters(
         k=lit.mod1_k, degree=lit.mod1_degree,
         double_angle=lit.mod1_double_angle,

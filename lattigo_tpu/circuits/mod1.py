@@ -73,6 +73,13 @@ class Mod1Parameters:
     log_message_ratio: int = 8   # log2(q/|m|) bound
     arcsine_degree: int = 0      # optional arcsine correction
     mod1_type: str = COS_CONTINUOUS
+    # Working scale of the evaluation (ref mod1_parameters.go LogScale /
+    # the EvalModLogScale design): when set, the bootstrap relabels the
+    # C2S output to 2^log_scale so the Chebyshev power basis stays pinned
+    # to the (≈ 2^log_scale) chain primes — without it the basis scale
+    # drifts by (Δ_in/q_em) per doubling and the shrinking scales turn
+    # RLWE noise into message-level error. None keeps the input scale.
+    log_scale: int | None = None
 
     @property
     def sc_fac(self) -> int:

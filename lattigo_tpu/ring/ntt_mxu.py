@@ -331,6 +331,16 @@ class NTTMxu:
         self.tf = jnp.asarray(np.stack([p["tf"] for p in packs]))
         self.ti = jnp.asarray(np.stack([p["ti"] for p in packs]))
 
+    # see ntt_u64_mxu.NTTMxu64.table_names — same argument-threading hook
+    table_names = ("w1f", "w2f", "w1i", "w2i", "tf", "ti", "consts")
+
+    def get_tables(self):
+        return {k: getattr(self, k) for k in self.table_names}
+
+    def set_tables(self, tabs):
+        for k, v in tabs.items():
+            setattr(self, k, v)
+
     def _call(self, x, limb_lo: int, inverse: bool, lazy: bool,
               interpret: bool):
         shape = x.shape

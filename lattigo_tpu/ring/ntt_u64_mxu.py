@@ -140,6 +140,20 @@ class NTTMxu64:
         self.tf = jnp.asarray(np.stack(tf))     # [L, R, C] u64 M-form
         self.ti = jnp.asarray(np.stack(ti))
 
+    # Weight stacks are ~L·(8R)²·2 int8 bytes — hundreds of MB at logN≥15.
+    # Closed over a jit they lower as HLO constants (inlined per program,
+    # exhausting compiler/device memory); long-lived pipelines thread them
+    # through the jit boundary as ARGUMENTS via get_tables/set_tables
+    # (see BootstrappingEvaluator.jitted big_state).
+    table_names = ("w1f", "w2f", "w1i", "w2i", "tf", "ti")
+
+    def get_tables(self):
+        return {k: getattr(self, k) for k in self.table_names}
+
+    def set_tables(self, tabs):
+        for k, v in tabs.items():
+            setattr(self, k, v)
+
     def _consts(self, s: slice):
         return (self.q[s][:, None, None], self.qinv[s][:, None, None],
                 self.m32[s][:, None, None], self.c1[s][:, None, None],

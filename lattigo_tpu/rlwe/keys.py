@@ -327,14 +327,24 @@ class KeyGenerator:
                            for g in gal_els])
         keys = jax.random.split(key, len(gal_els))
 
+        # MXU NTT weight tables ride the jit boundary as arguments — closed
+        # over they inline as HLO constants and exhaust memory at logN>=15
+        # (see ring/tables.py)
+        from lattigo_tpu.ring.tables import TableThreader
+        threader = TableThreader(p.ring_q, p.ring_p)
+
         jit_fn = getattr(self, "_gk_batched_jit", None)
         if jit_fn is None:
-            def batched(ks, idx, sk_q, sk_p):
-                def one(k, ix):
-                    sk_out = SecretKey(QPPoly(auto.apply_ntt(sk_q, ix),
-                                              auto.apply_ntt(sk_p, ix)))
-                    return self.gadget_encrypt(k, sk_q, sk_out)
-                return jax.vmap(one)(ks, idx)
+            def batched(tabs, ks, idx, sk_q, sk_p):
+                old = threader.install(tabs)
+                try:
+                    def one(k, ix):
+                        sk_out = SecretKey(QPPoly(auto.apply_ntt(sk_q, ix),
+                                                  auto.apply_ntt(sk_p, ix)))
+                        return self.gadget_encrypt(k, sk_q, sk_out)
+                    return jax.vmap(one)(ks, idx)
+                finally:
+                    threader.install(old)
             jit_fn = self._gk_batched_jit = jax.jit(batched)
 
         out: dict[int, GaloisKey] = {}
@@ -345,7 +355,8 @@ class KeyGenerator:
                 pad = chunk - (hi - lo)
                 ks = jnp.concatenate([ks, keys[lo:lo + 1].repeat(pad, 0)])
                 idx = np.concatenate([idx, idx[:1].repeat(pad, 0)])
-            stacked = jit_fn(ks, jnp.asarray(idx), sk.value.q, sk.value.p)
+            stacked = jit_fn(threader.state(), ks, jnp.asarray(idx),
+                             sk.value.q, sk.value.p)
             for i, g in enumerate(gal_els[lo:hi]):
                 out[g] = GaloisKey(jax.tree.map(lambda x: x[i], stacked), g)
         return out

@@ -137,6 +137,10 @@ class RingPackingEvaluator:
         coeffs = [0] * p.n
         # constant computation stays concrete even mid-trace (jax >= 0.9
         # turns constant ops into tracers otherwise)
+        # bypass the engine NTT: its weight tables may be tracers when a
+        # pipeline threads them through the jit boundary (see
+        # ckks.Evaluator._i_monomial)
+        from lattigo_tpu.ring import ntt as ntt_mod
         with jax.ensure_compile_time_eval():
             if k < p.n:
                 coeffs[k] = 1
@@ -144,7 +148,10 @@ class RingPackingEvaluator:
             else:
                 coeffs[k - p.n] = 1
                 poly = p.ring_q.neg(p.ring_q.from_int_coeffs(coeffs, level), level)
-            return np.asarray(p.ring_q.mform(p.ring_q.ntt(poly, level), level))
+            rq = p.ring_q
+            l = level + 1
+            x = ntt_mod.ntt(poly, rq.roots[:l], rq.q[:l], rq.qinv[:l], rq.log_n)
+            return np.asarray(rq.mform(x, level))
 
     def _mul_xpow(self, ct: Ciphertext, power: int,
                   log_n: int | None = None) -> Ciphertext:

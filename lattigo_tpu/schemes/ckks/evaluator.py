@@ -305,12 +305,18 @@ class Evaluator(RlweEvaluator):
             coeffs = [0] * p.n
             coeffs[p.n // 2] = 1
             # constant computation must stay concrete even mid-trace
-            # (jax >= 0.9 turns constant ops into tracers otherwise)
+            # (jax >= 0.9 turns constant ops into tracers otherwise), and
+            # must bypass the engine NTT: its weight tables may be TRACERS
+            # when a pipeline threads them through the jit boundary
+            # (bootstrapping.jitted big_state)
             import jax
+            from lattigo_tpu.ring import ntt as ntt_mod
             with jax.ensure_compile_time_eval():
                 poly = p.ring_q.from_int_coeffs(coeffs, level)
-                cache[level] = np.asarray(
-                    p.ring_q.mform(p.ring_q.ntt(poly, level), level))
+                l = level + 1
+                x = ntt_mod.ntt(poly, p.ring_q.roots[:l], p.ring_q.q[:l],
+                                p.ring_q.qinv[:l], p.ring_q.log_n)
+                cache[level] = np.asarray(p.ring_q.mform(x, level))
         return cache[level]
 
     def mul_by_i(self, ct: Ciphertext) -> Ciphertext:
