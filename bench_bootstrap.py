@@ -11,11 +11,17 @@ Usage: python bench_bootstrap.py [log_n] [batch]
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 import jax
+
+# The image's sitecustomize pins the TPU tunnel regardless of JAX_PLATFORMS;
+# jax.config is the only reliable override (see tests/conftest.py).
+if os.environ.get("LATTIGO_BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 from lattigo_tpu import rlwe
 from lattigo_tpu.schemes import ckks
@@ -28,27 +34,27 @@ def main(log_n: int = 13, batch: int = 1, preset: str | None = None):
         residual, lit = getattr(bp, preset)
         log_n = residual.log_n
     else:
-        # Sparse H=192 main secret: the Mod1 default K=16 covers the mod-up
-        # lift integers only for sparse secrets (the reference's dense
-        # default sets pair K=16 with an H=32 ephemeral secret instead,
-        # default_parameters.go:123-186); a dense secret here would push
-        # |I| far past K and EvalMod would return garbage.
+        # Sparse H=192 main secret + H=32 ephemeral encapsulation: the Mod1
+        # K=16 bound is the Irwin-Hall SUPPORT bound of an H=32 key (|I| <=
+        # 16 exactly; the 2^-138 failure prob is its corner volume). The
+        # mod1 recipe follows the reference's high-precision N16QP1547 set
+        # (log_message_ratio=2 + arcsine degree 7): the bootstrap's final
+        # error is mod1_error x S2C-gain x 2^ratio, so a small ratio —
+        # not a higher polynomial degree — is what buys precision.
         from lattigo_tpu.ring.sampling import Ternary
         residual = ckks.ParametersLiteral(
             log_n=log_n,
-            log_q=(55, 45, 45, 45),
-            log_p=(60, 60),
+            log_q=(60, 45, 45, 45),
+            log_p=(61, 61),
             log_default_scale=45,
             xs=Ternary(hamming_weight=192),
         )
-        # keep the default H=32 ephemeral encapsulation: the Mod1 K=16
-        # bound is the Irwin-Hall SUPPORT bound of an H=32 key (|I| <= 16
-        # exactly, failure = the 2^-138 corner volume); H=192 without
-        # encapsulation overflows K on a few slots per ciphertext.
         lit = bp.BootstrappingLiteral(
-            c2s_log_scales=[[56], [56], [56]],
-            s2c_log_scales=[[39], [39], [39]],
+            c2s_log_scales=[[58], [58], [58]],
+            s2c_log_scales=[[42], [42], [42]],
             evalmod_log_scale=60,
+            log_message_ratio=2,
+            mod1_inv_degree=7,
         )
     full, btp = bp.build_bootstrapping_parameters(residual, lit)
     params = ckks.Parameters(full)
