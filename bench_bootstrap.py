@@ -36,25 +36,23 @@ def main(log_n: int = 13, batch: int = 1, preset: str | None = None):
     else:
         # Sparse H=192 main secret + H=32 ephemeral encapsulation: the Mod1
         # K=16 bound is the Irwin-Hall SUPPORT bound of an H=32 key (|I| <=
-        # 16 exactly; the 2^-138 failure prob is its corner volume). The
-        # mod1 recipe follows the reference's high-precision N16QP1547 set
-        # (log_message_ratio=2 + arcsine degree 7): the bootstrap's final
-        # error is mod1_error x S2C-gain x 2^ratio, so a small ratio —
-        # not a higher polynomial degree — is what buys precision.
+        # 16 exactly; the 2^-138 failure prob is its corner volume).
+        # Moderate-precision recipe (the reference's default, message ratio
+        # 2^8): the bootstrap's final error is mod1_error x S2C-gain x
+        # 2^ratio; the low-ratio + arcsine recipes (e.g. N16QP1547) buy
+        # more bits once the arcsine stage choreography is validated.
         from lattigo_tpu.ring.sampling import Ternary
         residual = ckks.ParametersLiteral(
             log_n=log_n,
-            log_q=(60, 45, 45, 45),
-            log_p=(61, 61),
+            log_q=(55, 45, 45, 45),
+            log_p=(60, 60),
             log_default_scale=45,
             xs=Ternary(hamming_weight=192),
         )
         lit = bp.BootstrappingLiteral(
-            c2s_log_scales=[[58], [58], [58]],
-            s2c_log_scales=[[42], [42], [42]],
+            c2s_log_scales=[[56], [56], [56]],
+            s2c_log_scales=[[39], [39], [39]],
             evalmod_log_scale=60,
-            log_message_ratio=2,
-            mod1_inv_degree=7,
         )
     full, btp = bp.build_bootstrapping_parameters(residual, lit)
     params = ckks.Parameters(full)
