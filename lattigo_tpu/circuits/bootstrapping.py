@@ -106,14 +106,13 @@ class BootstrappingEvaluator:
                 f"invalid circuit_order {bts_params.circuit_order!r}")
 
         # fold ALL free constants into the last C2S matrix: the 0.5 of the
-        # conjugation split, EvalMod's interval map 2^r/K (resp. 1/K), and
-        # — when the mod1 working scale is pinned — the anticipation factor
-        # 2^log_scale/q0 that the post-C2S relabel divides back out
+        # conjugation split, EvalMod's interval map 1/K (the Chebyshev
+        # variable is u = y/K for every mod1 type — see mod1._gen_poly),
+        # and — when the mod1 working scale is pinned — the anticipation
+        # factor 2^log_scale/q0 that the post-C2S relabel divides back out
         # (ref bootstrapping/evaluator.go:190 C2SScaling = qDiv/(K·qDiff)).
         m1 = bts_params.mod1
-        from lattigo_tpu.circuits.mod1 import COS_DISCRETE
-        in_const = (m1.sc_fac / m1.k if m1.mod1_type == COS_DISCRETE
-                    else 1.0 / m1.k)
+        in_const = 1.0 / m1.k
         # Pinning the working scale keeps the Chebyshev power basis at the
         # (≈ equal) EvalMod chain primes instead of drifting by Δ_in/q_em
         # per doubling — drifting scales amplify RLWE noise into message

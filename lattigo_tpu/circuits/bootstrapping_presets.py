@@ -15,9 +15,16 @@ Chain layout (bottom -> top), as consumed by
 Deviations from the reference:
 
 * factorization entries holding several scales (e.g. ``{30, 30}`` — one
-  matrix rescaled by two 30-bit primes) become a single prime of the summed
-  bit size, since the evaluator consumes one prime per linear-transform
-  level; per-stage scales are unchanged.
+  matrix rescaled by two 30-bit primes) become SEPARATE levels of one prime
+  each (``[[30, 30]] → [[30], [30]]``), since the evaluator consumes one
+  prime per linear-transform level. Total consumed modulus bits and logQP
+  are identical; what changes is the DFT merge depth: the reference's
+  depth-1 variants merge all log(slots) butterfly stages into ONE dense
+  matrix with ~2·slots nonzero diagonals (dft.go:698 ``merge[0] =
+  logSlots``) — at logN=15 that is ~17 GB of encoded diagonals, far beyond
+  one chip's HBM (the reference pays it in host RAM); splitting into two
+  matrices of ~√slots diagonals each costs the same primes and keeps the
+  working set ~500 MB.
 * depth accounting matches the reference exactly: C2S/S2C consume one
   prime per factorization level, EvalMod consumes Depth() = bit_length(
   max(degree, 2K−1)) + DoubleAngle (+ arcsine) primes — the interval map
@@ -84,19 +91,21 @@ def build_bootstrapping_parameters(
     """(full-chain CKKS literal, evaluator parameters) from residual params
     + bootstrapping literal (ref bootstrapping/parameters.go:51)."""
     lit = BootstrappingLiteral() if lit is None else lit
-    # NOTE: Mod1Parameters.log_scale (the reference's EvalModLogScale
-    # working-scale pinning) is available but left None here: with exact
-    # Fraction scale bookkeeping the unpinned evaluation measured equal or
-    # better end-to-end precision (the power-basis scale drift is
-    # compensated by Chebyshev value growth, and constant scales absorb
-    # the difference exactly), and pinning costs one extra relabel + the
-    # anticipation factor in the C2S constants.
+    # Mod1Parameters.log_scale = the reference's EvalModLogScale working-
+    # scale pinning, and it is NOT optional for precision: the Chebyshev
+    # squaring ladder maps scale σ → σ²/q whose fixed point is q, so an
+    # EvalMod input scale below the ≈2^evalmod_log_scale chain primes makes
+    # the power-basis scales collapse geometrically until RLWE noise is
+    # message-sized (see mod1.Mod1Evaluator.evaluate). Exact-Fraction
+    # labels make the pin itself free (one metadata relabel after C2S plus
+    # the anticipation factor folded into the C2S constants).
     mod1 = Mod1Parameters(
         k=lit.mod1_k, degree=lit.mod1_degree,
         double_angle=lit.mod1_double_angle,
         log_message_ratio=lit.log_message_ratio,
         arcsine_degree=lit.mod1_inv_degree,
-        mod1_type=lit.mod1_type)
+        mod1_type=lit.mod1_type,
+        log_scale=lit.evalmod_log_scale)
     n_evalmod = BootstrappingEvaluator._mod1_depth(mod1)
     s2c = [sum(level) for level in lit.s2c_log_scales]
     c2s = [sum(level) for level in lit.c2s_log_scales]
@@ -139,7 +148,8 @@ N16QP1553_H192_H32 = (
         log_n=16, log_q=(55,) + (60,) * 7, log_p=(61,) * 5,
         xs=Ternary(hamming_weight=192), log_default_scale=30),
     BootstrappingLiteral(                         # 19.1 bits @ 2^15 slots
-        s2c_log_scales=[[30], [30, 30]],
+        # ref: [[30], [30, 30]] — second level split, see module doc
+        s2c_log_scales=[[30], [30], [30]],
         c2s_log_scales=[[53], [53], [53], [53]],
         evalmod_log_scale=55),
 )
@@ -148,7 +158,8 @@ N15QP768_H192_H32 = (
         log_n=15, log_q=(33, 50, 25), log_p=(51,) * 2,
         xs=Ternary(hamming_weight=192), log_default_scale=25),
     BootstrappingLiteral(                         # 15.4 bits @ 2^14 slots
-        s2c_log_scales=[[30, 30]],
+        # ref: [[30, 30]] (one dense depth-1 matrix) — split, see module doc
+        s2c_log_scales=[[30], [30]],
         c2s_log_scales=[[49], [49]],
         evalmod_log_scale=50),
 )
@@ -177,7 +188,8 @@ N16QP1793_H32768_H32 = (
         log_n=16, log_q=(55,) + (60,) * 11 + (60, 30), log_p=(61,) * 5,
         xs=Ternary(hamming_weight=32768), log_default_scale=30),
     BootstrappingLiteral(                         # 17.8 bits @ 2^15 slots
-        s2c_log_scales=[[30], [30, 30]],
+        # ref: [[30], [30, 30]] — second level split, see module doc
+        s2c_log_scales=[[30], [30], [30]],
         c2s_log_scales=[[53], [53], [53], [53]],
         evalmod_log_scale=55),
 )
@@ -186,7 +198,8 @@ N15QP880_H16384_H32 = (
         log_n=15, log_q=(40,) + (31,) * 4, log_p=(56,) * 2,
         xs=Ternary(hamming_weight=16384), log_default_scale=31),
     BootstrappingLiteral(                         # 17.3 bits @ 2^14 slots
-        s2c_log_scales=[[30, 30]],
+        # ref: [[30, 30]] (one dense depth-1 matrix) — split, see module doc
+        s2c_log_scales=[[30], [30]],
         c2s_log_scales=[[52], [52]],
         evalmod_log_scale=55),
 )

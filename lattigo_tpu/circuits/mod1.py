@@ -13,20 +13,32 @@ Three approximation types (ref mod1_parameters.go:23-26 Type):
 
 * ``COS_DISCRETE`` — Han–Ki interpolation (ia.cr/2019/688) with nodes only
   near the integers; lowest degree for large K. Its Chebyshev variable is
-  v = y·2^r/K, which EXCEEDS [−1, 1] (up to ±2^r): T_n(v) intermediates
-  are astronomically large and cancel against the rapidly-decaying
-  coefficients, so coefficients are carried as exact Fractions from the
-  256-bit generator (:mod:`lattigo_tpu.utils.cosine`) all the way into the
-  constant encoder.
+  u = y/K ∈ [−1, 1] (the re-expansion happens inside
+  :mod:`lattigo_tpu.utils.cosine`), so every homomorphic power-basis value
+  is bounded by ~1; coefficients are carried as exact Fractions from the
+  256-bit generator into the constant encoder.
 * ``COS_CONTINUOUS`` — full-interval Chebyshev of the same cosine.
 * ``SIN_CONTINUOUS`` — full-interval Chebyshev of sin(2πx)/2π, no double
   angle.
 
-The 1/(2π) factor is embedded into the polynomial coefficients via the
-double-angle-compatible scaling (ref mod1_evaluator.go:61): with
-s_0 = (2π)^{-1/2^r}, c_0 = s_0·cos(θ/2^r) and the modified recurrence
-c ← 2c² − s_i², s_i ← s_i², the invariant c_i = s_i·cos(θ/2^{r-i}) holds
-and the final iterate equals sin(2πy)/(2π) at no extra depth.
+Without the arcsine correction, the 1/(2π) factor is embedded into the
+polynomial coefficients via the double-angle-compatible scaling (ref
+mod1_evaluator.go:61): with s_0 = (2π)^{-1/2^r}, c_0 = s_0·cos(θ/2^r) and
+the modified recurrence c ← 2c² − s_i², s_i ← s_i², the invariant
+c_i = s_i·cos(θ/2^{r-i}) holds and the final iterate equals sin(2πy)/(2π)
+at no extra depth.
+
+With the arcsine correction (``arcsine_degree > 0``, the low-message-ratio
+recipe of the ratio-2² published sets), the cosine polynomial is kept
+UNSCALED (s_0 = 1, ref mod1_parameters.go:157 ``sqrt2pi = 1.0`` when
+Mod1InvDegree > 0): the double-angle output is u = sin(2πy) at full unit
+dynamic range, and the final stage evaluates the odd monomial series
+asin(u)/(2π) = u/(2π)·(1 + u²/6 + 3u⁴/40 + …) whose coefficients are all
+≤ 1/(2π) (ref mod1_parameters.go:139-148). Evaluating the series on
+sin(2πy)/(2π) instead (coefficients growing like (2π)^{d−1}, an earlier
+revision) amplifies the power-basis quantisation error by the leading
+coefficient — 2^11 at degree 7 — and makes the correction WORSE than no
+correction.
 """
 
 from __future__ import annotations
@@ -102,12 +114,19 @@ class Mod1Evaluator:
 
     @property
     def _sqrt2pi(self) -> float:
+        """Scale factor folded into the cosine polynomial & double-angle
+        constants. 1.0 with the arcsine correction (the 1/(2π) then lives
+        in the asin series, ref mod1_parameters.go:136-158)."""
+        if self.p1.arcsine_degree > 0:
+            return 1.0
         return (2 * math.pi) ** (-1.0 / self.p1.sc_fac)
 
     def _gen_poly(self) -> Polynomial:
         p1 = self.p1
         k, scfac = p1.k, p1.sc_fac
         s = self._sqrt2pi
+        if p1.arcsine_degree > 0 and p1.mod1_type == SIN_CONTINUOUS:
+            raise ValueError("arcsine correction requires a cosine mod1 type")
 
         if p1.mod1_type == COS_DISCRETE:
             from mpmath import mp, mpf, pi as mp_pi
@@ -116,7 +135,8 @@ class Mod1Evaluator:
                 c = approximate_cos(k, p1.degree,
                                     float(1 << p1.log_message_ratio),
                                     p1.double_angle)
-                s_mp = (1 / (2 * mp_pi)) ** (mpf(1) / scfac)
+                s_mp = (mpf(1) if p1.arcsine_degree > 0
+                        else (1 / (2 * mp_pi)) ** (mpf(1) / scfac))
                 coeffs = [_mpf_to_fraction(ci * s_mp) for ci in c]
             return Polynomial(coeffs, basis=CHEBYSHEV)
 
@@ -149,28 +169,41 @@ class Mod1Evaluator:
         k, r = p1.k, self._r
         s = self._sqrt2pi
 
-        # map y to the polynomial variable: v = y·2^r/K for CosDiscrete,
-        # t = y/K for the continuous types. In the bootstrap the caller
-        # folds this constant into the C2S matrices (pre_mapped=True, free
-        # — ref bootstrapping/evaluator.go:190 C2SScaling); standalone
-        # callers pay one constant mul, exactly like the reference's own
-        # mod1 test (mod1_evaluator_test.go:151 Mul(1/(K·QDiff))+Rescale).
+        # map y to the polynomial variable u = y/K (all types; see
+        # _gen_poly — the CosDiscrete re-expansion happens at generation).
+        # In the bootstrap the caller folds this constant into the C2S
+        # matrices (pre_mapped=True, free — ref
+        # bootstrapping/evaluator.go:190 C2SScaling); standalone callers
+        # pay one constant mul, exactly like the reference's own mod1 test
+        # (mod1_evaluator_test.go:151 Mul(1/(K·QDiff))+Rescale).
         # A scale-metadata relabel would also be exact but drifts the
         # working scale off the chain primes; the drift compounds through
         # the Chebyshev squaring chain (×2 → ×2^16 at T_16) and destroys
         # the coefficient quantisation headroom CosDiscrete needs.
         if not pre_mapped:
-            in_const = (Fraction(p1.sc_fac, k) if p1.mod1_type == COS_DISCRETE
-                        else Fraction(1, k))
-            t = ev.rescale(ev.mul_const(ct, in_const))
+            t = ev.rescale(ev.mul_const(ct, Fraction(1, k)))
         else:
             t = ct
 
+        # The scale the double-angle chain lands on: the PINNED working
+        # scale when set (ref mod1_evaluator.go:46 res.Scale =
+        # ScalingFactor(); the caller relabels afterwards), else the
+        # default scale. Pinning matters: the squaring chain maps scale
+        # σ → σ²/q, whose fixed point is q — a target at the ≈ q chain
+        # primes keeps every Chebyshev power AND double-angle iterate at
+        # ≈ q, so RLWE noise stays at 2^-log_scale relative. A target
+        # below the chain primes makes the BASIS scales collapse
+        # geometrically toward zero going up the squaring ladder
+        # (σ, σ²/q, σ⁴/q³, …) until ciphertext noise IS the message —
+        # measured 14+ bits of bootstrap precision loss at Δ=2^45 under
+        # 2^60 EvalMod primes.
+        base = (Fraction(2) ** p1.log_scale if p1.log_scale is not None
+                else Fraction(p.default_scale_fraction))
         # plan: poly output level with a throwaway target, then stage the
         # real target backward through the r double-angle rescales
         lc = poly_mod.simulate(p, t.level, Fraction(t.scale), self._poly,
-                               p.default_scale_fraction).level
-        target = Fraction(p.default_scale_fraction)
+                               base).level
+        target = base
         for i in range(r):
             target = _sqrt_fraction(
                 target * Fraction(p.q_moduli[lc - r + 1 + i]))
@@ -186,14 +219,20 @@ class Mod1Evaluator:
             c = ev.sub(sq, si * si)
             si = si * si
         if p1.arcsine_degree > 0:
-            # arcsine(u)/(2π) correction: asin series on u = sin(2πy)/(2π)
+            # Arcsine correction on u = sin(2πy) (s_0 was 1, so the
+            # double-angle output has unit dynamic range): evaluate
+            # asin(u)/(2π) = Σ a_d u^d with a_1 = 1/(2π) and
+            # a_d = a_{d−2}·(d²−4d+4)/(d²−d) for odd d — every coefficient
+            # ≤ 1/(2π), so power-basis quantisation error is never
+            # amplified (ref mod1_parameters.go:139-148 Mod1InvPoly).
             coeffs = [0.0] * (p1.arcsine_degree + 1)
-            # asin(2π u)/(2π) = u + (2π)²u³/6 + 3(2π)⁴u⁵/40 + ...
-            fac = 2 * math.pi
-            series = {1: 1.0, 3: fac**2 / 6.0, 5: 3.0 * fac**4 / 40.0,
-                      7: 15.0 * fac**6 / 336.0}
-            for d, v in series.items():
-                if d <= p1.arcsine_degree:
-                    coeffs[d] = v
-            c = self.poly_eval.evaluate(c, Polynomial(coeffs, basis="monomial"))
+            a = 1.0 / (2.0 * math.pi)
+            coeffs[1] = a
+            for d in range(3, p1.arcsine_degree + 1, 2):
+                a = a * (d * d - 4 * d + 4) / (d * d - d)
+                coeffs[d] = a
+            # evaluated at the working scale, like the reference's
+            # Evaluate(res, mod1InvPoly, res.Scale) — mod1_evaluator.go:140
+            c = self.poly_eval.evaluate(
+                c, Polynomial(coeffs, basis="monomial"), base)
         return c

@@ -15,6 +15,10 @@ from lattigo_tpu.multiparty.protocols import (
 from lattigo_tpu.multiparty.threshold import (
     Thresholdizer, Combiner, ShamirPolynomial,
 )
+from lattigo_tpu.multiparty.additive_shares import (
+    AdditiveShare, AdditiveShareBigint,
+    new_additive_share, new_additive_share_bigint,
+)
 from lattigo_tpu.multiparty.sharing_bgv import (
     BGVEncToShareProtocol, BGVShareToEncProtocol,
     BGVMaskedTransformProtocol, BGVRefreshProtocol, MaskedTransformFunc,

@@ -28,12 +28,15 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB + ".tmp", _SRC]
+    # per-process temp name: concurrent first imports (parallel pytest
+    # workers) must not interleave writes before the atomic replace
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError):
         return False
-    os.replace(_LIB + ".tmp", _LIB)
+    os.replace(tmp, _LIB)
     return True
 
 

@@ -20,6 +20,13 @@
 #include <cstdint>
 #include <cstring>
 
+// The stream/key memcpy paths assume little-endian word layout; a
+// big-endian build would silently diverge from the hashlib fallback
+// despite the bit-identical contract, so refuse to compile there
+// (the Python side then uses the pure fallback).
+static_assert(__BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__,
+              "native XOF requires a little-endian host");
+
 typedef unsigned __int128 u128;
 
 namespace {

@@ -16,6 +16,9 @@ from lattigo_tpu.rlwe.keys import (
     RelinearizationKey, GaloisKey, KeyGenerator, EvaluationKeySet,
 )
 from lattigo_tpu.rlwe.encryption import Encryptor, Decryptor, add_plaintext
+from lattigo_tpu.rlwe.errors import (
+    MissingKeyError, MissingGaloisKeyError, MissingRelinearizationKeyError,
+)
 from lattigo_tpu.rlwe.evaluator import Evaluator
 
 __all__ = [

@@ -158,7 +158,8 @@ class Evaluator:
         """Degree-d → degree-1 via iterated key switch (ref :120 Relinearize)."""
         rlk = rlk if rlk is not None else self.evk.relinearization_key
         if rlk is None:
-            raise ValueError("relinearization requires a RelinearizationKey")
+            from lattigo_tpu.rlwe.errors import MissingRelinearizationKeyError
+            raise MissingRelinearizationKeyError()
         assert ct.is_ntt, "relinearize expects NTT-domain ciphertexts"
         level = ct.level
         v = ct.value
@@ -282,7 +283,12 @@ class Evaluator:
         alternative to :meth:`inner_sum` — n−1 automorphism keys but a
         single decompose, best when n is small or the rotations are
         reused nowhere else."""
-        if n == 1 or offset == 0:
+        if offset == 0:
+            # the reference rejects offset == 0 (inner_sum.go:148) — the
+            # mathematically-consistent result would be n·ct, which is
+            # never what a caller wants from a trace ladder
+            raise ValueError("partial_traces_sum: offset must be non-zero")
+        if n == 1:
             return ct
         p = self.params
         level = ct.level

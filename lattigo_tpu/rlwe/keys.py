@@ -371,5 +371,6 @@ class EvaluationKeySet:
 
     def galois_key(self, gal_el: int) -> GaloisKey:
         if gal_el not in self.galois_keys:
-            raise KeyError(f"missing GaloisKey for element {gal_el}")
+            from lattigo_tpu.rlwe.errors import MissingGaloisKeyError
+            raise MissingGaloisKeyError(gal_el)
         return self.galois_keys[gal_el]

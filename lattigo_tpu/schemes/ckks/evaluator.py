@@ -39,11 +39,16 @@ class Evaluator(RlweEvaluator):
     def _match_scales(self, ct0: Ciphertext, ct1: Ciphertext):
         """Bring both operands to the larger scale.
 
-        The smaller-scale operand is multiplied by ⌊s_big/s_small⌋ and then
-        RELABELED to s_big — exactly the reference's big-float truncation
-        (ref evaluator.go:246 ratioFlo.Int): the residual relative mismatch
-        (e.g. q_i·q_j/2^90 − 1 ≈ 1e-9 after two rescales) is folded into the
-        message error. A large mismatch indicates a circuit bug and raises.
+        The smaller-scale operand is multiplied by round(s_big/s_small) and
+        then RELABELED to s_big; the residual relative mismatch (e.g.
+        q_i·q_j/2^90 − 1 ≈ 1e-9 after two rescales) is folded into the
+        message error. NOTE the deliberate delta from the reference's
+        big-float TRUNCATION (ref evaluator.go:246 ratioFlo.Int): with
+        exact-Fraction scale labels, planned scales divide by the actual
+        chain primes (2^b ± δ) so ratios land just below exact powers —
+        flooring would multiply by e.g. 1023 instead of 1024 and fold a
+        2^-10 relative error into the message, while rounding leaves ~δ.
+        A large mismatch indicates a circuit bug and raises.
         """
         s0, s1 = Fraction(ct0.scale), Fraction(ct1.scale)
         if s0 == s1:
@@ -269,12 +274,6 @@ class Evaluator(RlweEvaluator):
         """Σ_{i<n} rot(ct, i·batch) (ref evaluator.go:1315 RotateAndAdd —
         same log-depth ladder as InnerSum)."""
         return self.inner_sum(ct, batch, n)
-
-    def rotate_hoisted(self, ct: Ciphertext,
-                       ks: list[int]) -> dict[int, Ciphertext]:
-        """Slot rotations by every k in ks, one shared decomposition
-        (ref RotateHoisted:1228)."""
-        return self.rotate_columns_hoisted(ct, ks)
 
     # -- rescaling -------------------------------------------------------------------------
 

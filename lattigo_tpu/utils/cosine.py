@@ -9,13 +9,19 @@ This reaches a given accuracy at far lower degree than full-interval
 Chebyshev interpolation when K/2^r > 1.
 
 Returned coefficients are in the Chebyshev basis of the variable
-v = x·2^r/K (the reference's [−K/scfac, K/scfac] interval convention,
-cosine_approx.go:265 x[i] /= scfac): :mod:`circuits.mod1` evaluates them
-at v = y·2^r/K, where |v| ranges up to ~2^r. Chebyshev values T_n(v)
-there are astronomically large and cancel against the decaying
-coefficients, so the whole computation runs at 256-bit precision
-(mpmath), matching the reference's cosine.EncodingPrecision — the f64
-result of a lower-precision solve is useless beyond |v| > 1.
+u = x/K, so the homomorphic evaluation feeds |u| ≤ 1 and every power-
+basis value |T_n(u)| ≤ 1 — this matches the reference pipeline, whose
+C2S scaling divides the EvalMod input by K before the Chebyshev
+evaluation (ref bootstrapping/evaluator.go:190 C2SScaling=qDiv/(K·qDiff)).
+The Han–Ki interpolant is bounded by ~1 over the whole of [−K, K] (its
+node-allocation bound controls inter-node growth), so the re-expansion
+coefficients are O(1). An earlier revision of this module used the
+shrunk-interval variable v = x·2^r/K instead (|v| up to 2^r): values
+T_30(2^r) ≈ 2^119 in the homomorphic power basis turn the per-step
+rescale/quantisation noise into message-level error — measured 14+ bits
+of end-to-end bootstrap precision loss — so don't do that. The solve
+still runs at 256-bit precision (mpmath), matching the reference's
+cosine.EncodingPrecision.
 
 All of this is host-side parameter generation; speed is irrelevant.
 """
@@ -108,18 +114,16 @@ def _gen_nodes(deg, dev: float, totdeg: int, k: int, scnum: int):
 
 
 def approximate_cos(k: int, degree: int, dev: float, scnum: int):
-    """Chebyshev-basis coefficients (variable v = x·2^scnum/K) of the
+    """Chebyshev-basis coefficients (variable u = x/K, |u| ≤ 1) of the
     Han–Ki interpolant of cos(2π(x−0.25)/2^scnum) on [−K, K] (ref :30).
 
     Returns a list of mpmath mpf values — keep them high-precision until
-    the final scale-embedding multiply (float64 coefficients are not
-    accurate enough for the |v| > 1 evaluation range).
+    the final scale-embedding multiply.
     """
     with mp.workprec(_PREC):
         deg, totdeg = _gen_degrees(degree, k, dev)
         nodes, y = _gen_nodes(deg, dev, totdeg, k, scnum)
 
-        scfac = mpf(1 << scnum)
         # divided differences (Newton form), ref solve():248
         y = list(y)
         for j in range(1, totdeg):
@@ -128,7 +132,12 @@ def approximate_cos(k: int, degree: int, dev: float, scnum: int):
 
         totdeg += 1
         kb = mpf(k)
-        x = [(kb / scfac) * mp_cos(mp_pi * mpf(i) / mpf(totdeg - 1))
+        # Chebyshev sample points over the FULL [−K, K]: the re-expansion
+        # variable must be u = x/K so the homomorphic power basis stays in
+        # [−1, 1] (see module docstring). Exact polynomial identity: the
+        # degree-(totdeg−1) interpolant is resampled at totdeg Chebyshev
+        # points and re-solved in the T_n(u) basis.
+        x = [kb * mp_cos(mp_pi * mpf(i) / mpf(totdeg - 1))
              for i in range(totdeg)]
 
         # evaluate the Newton interpolant at the x points
@@ -139,9 +148,9 @@ def approximate_cos(k: int, degree: int, dev: float, scnum: int):
                 acc = acc * (x[i] - nodes[j]) + y[j]
             p[i] = acc
 
-        # Chebyshev basis in v = x/(K/scfac): build and solve T c = p
+        # Chebyshev basis in u = x/K: build and solve T c = p
         n = totdeg
-        v = [xi / (kb / scfac) for xi in x]
+        v = [xi / kb for xi in x]
         T = [[mpf(0)] * n for _ in range(n)]
         for i in range(n):
             T[i][0] = mpf(1)

@@ -320,22 +320,47 @@ def public_key_from_bytes(data: bytes):
     return PublicKey(value=QPPoly(q=q, p=p))
 
 
-def gadget_ciphertext_to_bytes(g) -> bytes:
+def _base2_digit_counts(q_moduli, base2: int) -> list[int]:
+    """Per-limb power-of-two digit counts (ref params.go:523
+    BaseTwoDecompositionVectorSize: (logqi + w − 1) / w)."""
+    return [-(-((q - 1).bit_length()) // base2) for q in q_moduli]
+
+
+def gadget_ciphertext_to_bytes(g, q_moduli=None) -> bytes:
     """ref core/rlwe/gadgetciphertext.go: u64 base2 + Matrix[VectorQP].
 
-    lattigo_tpu layout value.q = u64[beta(*digits), deg+1, LQ, N] maps to the
-    reference's [beta][digits] matrix; with base2=0 digits=1.
+    lattigo_tpu layout value.q = u64[rows, deg+1, LQ, N] maps to the
+    reference's [beta][digits] matrix: with base2=0 the matrix is
+    [beta][1]; with base2=w>0 the flat rows (limb i, digit j) at
+    i·max_dig+j become matrix row i with exactly digits_i columns
+    (ref gadgetciphertext.go:33-37) — the zero-padded flat rows past
+    digits_i are dropped. ``q_moduli`` (the Q chain up to the gadget's
+    level) is required for base2 > 0 to recover the per-limb counts.
     """
     q = np.asarray(g.value.q)
     p = None if g.value.p is None else np.asarray(g.value.p)
     base2 = int(getattr(g, "base2", 0))
-    if base2 > 0:
-        raise NotImplementedError(
-            "base-2^w gadget wire interop: the flattened (limb, digit) row "
-            "layout needs per-limb digit counts; use the RNS gadget for "
-            "Lattigo-interoperable keys")
     rows = q.shape[0]
-    out = [_w_u64(base2), _w_u64(rows)]
+    out = [_w_u64(base2)]
+    if base2 > 0:
+        if q_moduli is None:
+            raise ValueError(
+                "base-2^w gadget serialization needs q_moduli (the Q chain "
+                "up to the gadget's level) to recover per-limb digit counts")
+        lq = q.shape[-2]
+        digits = _base2_digit_counts(q_moduli[:lq], base2)
+        max_dig = rows // lq
+        out.append(_w_u64(lq))
+        for i in range(lq):
+            out.append(_w_u64(digits[i]))
+            for j in range(digits[i]):
+                r = i * max_dig + j
+                out.append(_write_vector_qp(
+                    [q[r, d] for d in range(q.shape[1])],
+                    [None if p is None else p[r, d]
+                     for d in range(q.shape[1])]))
+        return b"".join(out)
+    out.append(_w_u64(rows))
     for i in range(rows):
         out.append(_w_u64(1))  # one column per row group
         out.append(_write_vector_qp(
@@ -345,27 +370,49 @@ def gadget_ciphertext_to_bytes(g) -> bytes:
 
 
 def gadget_ciphertext_from_bytes(data: bytes):
+    """Inverse of :func:`gadget_ciphertext_to_bytes`. For base2 > 0 the
+    per-limb rows are re-padded to the flat (limb, digit) layout with
+    zero rows (the evaluator masks digits past each limb's count, so the
+    padding content is never read — see keys._gadget_scalars_base2)."""
     from lattigo_tpu.ring.ringqp import QPPoly
     from lattigo_tpu.rlwe.keys import GadgetCiphertext
 
     b = memoryview(data)
     base2, off = _r_u64(b, 0)
     rows, off = _r_u64(b, off)
-    all_q, all_p = [], []
+    row_q, row_p, counts = [], [], []
     for _ in range(rows):
         cols, off = _r_u64(b, off)
-        assert cols == 1, "unsupported gadget matrix layout"
-        qs, ps, off = _read_vector_qp(b, off)
-        all_q.append(np.stack(qs))
-        all_p.append(None if ps[0] is None else np.stack(ps))
-    q = np.stack(all_q)
-    p = None if all_p[0] is None else np.stack(all_p)
+        counts.append(cols)
+        assert base2 > 0 or cols == 1, "unsupported gadget matrix layout"
+        for _ in range(cols):
+            qs, ps, off = _read_vector_qp(b, off)
+            row_q.append(np.stack(qs))
+            row_p.append(None if ps[0] is None else np.stack(ps))
+    if base2 > 0:
+        max_dig = max(counts)
+        pad_q, pad_p, k = [], [], 0
+        for c in counts:
+            for j in range(max_dig):
+                if j < c:
+                    pad_q.append(row_q[k])
+                    pad_p.append(row_p[k])
+                    k += 1
+                else:
+                    pad_q.append(np.zeros_like(pad_q[-1]))
+                    pad_p.append(None if pad_p[-1] is None
+                                 else np.zeros_like(pad_p[-1]))
+        row_q, row_p = pad_q, pad_p
+    q = np.stack(row_q)
+    p = None if row_p[0] is None else np.stack(row_p)
     return GadgetCiphertext(value=QPPoly(q=q, p=p), base2=int(base2)), off
 
 
-def evaluation_key_to_bytes(evk) -> bytes:
-    """ref core/rlwe/keys.go:293-349 (uncompressed: gadget ct only)."""
-    return gadget_ciphertext_to_bytes(evk.gadget)
+def evaluation_key_to_bytes(evk, q_moduli=None) -> bytes:
+    """ref core/rlwe/keys.go:293-349 (uncompressed: gadget ct only).
+    ``q_moduli`` is required for base-2^w gadgets (see
+    gadget_ciphertext_to_bytes)."""
+    return gadget_ciphertext_to_bytes(evk.gadget, q_moduli)
 
 
 def evaluation_key_from_bytes(data: bytes):
@@ -375,8 +422,8 @@ def evaluation_key_from_bytes(data: bytes):
     return EvaluationKey(gadget=g)
 
 
-def relinearization_key_to_bytes(rlk) -> bytes:
-    return evaluation_key_to_bytes(rlk)
+def relinearization_key_to_bytes(rlk, q_moduli=None) -> bytes:
+    return evaluation_key_to_bytes(rlk, q_moduli)
 
 
 def relinearization_key_from_bytes(data: bytes):

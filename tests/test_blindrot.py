@@ -7,6 +7,8 @@ import pytest
 from lattigo_tpu import rlwe
 from lattigo_tpu.rgsw import blindrot
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (see pyproject)
+
 
 def sign(x):
     return 1.0 if x > 0 else (-1.0 if x < 0 else 0.0)

@@ -15,6 +15,8 @@ from lattigo_tpu.schemes import ckks
 from lattigo_tpu.circuits import bootstrapping as bts
 from lattigo_tpu.circuits.mod1 import Mod1Parameters
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def ctx():

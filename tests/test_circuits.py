@@ -14,6 +14,8 @@ from lattigo_tpu.circuits.polynomial import (
     Polynomial, PolynomialEvaluator, chebyshev_approximate,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def ctx():
@@ -126,11 +128,10 @@ def test_dft_c2s_semantics(ctx):
 
 @pytest.mark.parametrize("mod1_type,degree,int_bound,bound", [
     (mod1_mod.COS_CONTINUOUS, 30, 7, 2.0 ** -12),
-    # CosDiscrete is homomorphically stable only for |y| ≲ K/2^r: beyond,
-    # constant-quantisation error is amplified by the huge T_n values of
-    # its out-of-[−1,1] Chebyshev variable. The reference's own test
-    # (mod1_evaluator_test.go:186) draws integers from ±(K/2^r − 1) too.
-    (mod1_mod.COS_DISCRETE, 30, 1, 2.0 ** -12),
+    # CosDiscrete's Chebyshev variable is u = y/K ∈ [−1, 1] (the Han–Ki
+    # coefficients are re-expanded at generation, utils/cosine.py), so the
+    # full |y| ≤ K − 1 range is homomorphically stable.
+    (mod1_mod.COS_DISCRETE, 30, 7, 2.0 ** -12),
     (mod1_mod.SIN_CONTINUOUS, 63, 7, 2.0 ** -10),
 ])
 def test_mod1(mod1_type, degree, int_bound, bound):
@@ -187,3 +188,55 @@ def test_polynomial_vector(ctx):
     out = pe.evaluate(ct, pv)
     want = pv.evaluate_plain(v.astype(np.complex128))
     ckks.verify_test_vectors(want, dec(ctx, out), min_precision=15.0)
+
+
+@pytest.mark.parametrize("ratio,asin,bound", [
+    (8, 0, 2.0 ** -19),   # default recipe: Han–Ki approx-limited (2^-21.3)
+    (2, 7, 2.0 ** -20),   # low-message-ratio + arcsine (N16QP1547 recipe)
+])
+def test_mod1_pinned_working_scale(ratio, asin, bound):
+    """EvalMod at a PINNED working scale above the default scale — the
+    published bootstrap recipes (ref EvalModLogScale, default 60; here 50
+    over a 2^45 default). The squaring ladder maps scale σ → σ²/q, so the
+    target must sit at the ≈ q chain primes or the basis scales collapse
+    geometrically into message-level noise (regression for exactly that
+    round-3 bug). The arcsine case is the reference's low-ratio recipe:
+    unscaled cosine → u = sin(2πy) → asin(u)/(2π) series
+    (ref mod1_parameters.go:136-158)."""
+    em = 50
+    p1 = mod1_mod.Mod1Parameters(
+        k=16, degree=30, double_angle=3, log_message_ratio=ratio,
+        mod1_type=mod1_mod.COS_DISCRETE, arcsine_degree=asin, log_scale=em)
+    from lattigo_tpu.circuits.bootstrapping import BootstrappingEvaluator
+    depth = BootstrappingEvaluator._mod1_depth(p1)
+    params = ckks.Parameters(ckks.ParametersLiteral(
+        log_n=8, log_q=(55, 45) + (em,) * depth + (56,),
+        log_p=(60, 60), log_default_scale=45))
+    kgen = rlwe.KeyGenerator(params)
+    k_sk, k_rlk, k_ct = jax.random.split(jax.random.PRNGKey(3), 3)
+    sk = kgen.gen_secret_key(k_sk)
+    rlk = kgen.gen_relinearization_key(k_rlk, sk)
+    enc = ckks.Encoder(params)
+    ev = ckks.Evaluator(params, rlwe.EvaluationKeySet(relinearization_key=rlk))
+    m1 = mod1_mod.Mod1Evaluator(ev, p1)
+
+    rng = np.random.default_rng(0)
+    ints = rng.integers(-10, 11, params.max_slots).astype(float)
+    # realistic coefficient magnitudes: the DFT concentrates |frac| around
+    # 2^-ratio/sqrt(N); the asin series is exact there and the uniform
+    # support edge (|frac| = 2^-ratio) is a separate distributional tail
+    frac = rng.uniform(-1, 1, params.max_slots) * 2.0 ** -(ratio + 3)
+    y = ints + frac
+    # pre-mapped input u = y/K at the pinned scale, one level below the
+    # top (the C2S stage consumes that prime in the real pipeline)
+    from fractions import Fraction
+    pt = enc.encode(y / p1.k, level=params.max_level - 1,
+                    scale=Fraction(2) ** em)
+    ct = rlwe.Encryptor(params, sk).encrypt(k_ct, pt)
+    out = m1.evaluate(ct, pre_mapped=True)
+    got = np.real(enc.decode(rlwe.Decryptor(params, sk).decrypt(out)))
+    err = np.abs(got - frac)
+    assert float(np.log2(float(out.scale))) == pytest.approx(em, abs=0.2), \
+        "pinned EvalMod must come out at the working scale"
+    assert err.max() < bound, (
+        f"pinned mod1 ratio=2^{ratio} asin={asin}: max err {err.max():.2e}")

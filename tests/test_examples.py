@@ -8,6 +8,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (see pyproject)
+
 EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
 
 

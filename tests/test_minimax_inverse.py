@@ -24,6 +24,8 @@ from lattigo_tpu.circuits.minimax import (
 )
 from lattigo_tpu.utils.minimax import gen_minimax_composite_sign
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def ctx():
