@@ -150,14 +150,14 @@ class Mod1Evaluator:
 
     def evaluate(self, ct: Ciphertext, pre_mapped: bool = False) -> Ciphertext:
         """ct slots hold y ∈ [−K, K]; returns slots ≈ (y mod 1) centered.
-        With ``pre_mapped`` the interval map y → y·2^r/K (resp. y/K) was
-        already applied by the caller (folded into the C2S matrices in the
-        bootstrap) and no level is spent on it.
+        With ``pre_mapped`` the interval map y → y/K was already applied by
+        the caller (folded into the C2S matrices in the bootstrap) and no
+        level is spent on it.
 
         Scale choreography (ref mod1_evaluator.go:52-58): each double-angle
         squaring maps scale σ → σ²/q, so the polynomial is evaluated at the
         target ∏√q staging scale that makes the r squarings land exactly on
-        the default scale. The landing primes are predicted with the
+        the working scale. The landing primes are predicted with the
         metadata-only :class:`~lattigo_tpu.circuits.polynomial.SimEvaluator`
         (the reference's polynomial_evaluator_sim.go analog). For this to be
         numerically stable the chain primes spanning the mod-1 levels must

@@ -135,3 +135,38 @@ def test_galois_key_roundtrip(ctx):
     assert gk2.gal_el == gk.gal_el
     assert np.array_equal(np.asarray(gk.gadget.value.q),
                           np.asarray(gk2.gadget.value.q))
+
+
+def test_base2_gadget_wire_roundtrip():
+    """Base-2^w gadget keys serialize with the reference's per-limb digit
+    counts (ref gadgetciphertext.go:33-37, params.go:523) and round-trip
+    through the padded flat layout."""
+    import jax
+    from lattigo_tpu import rlwe
+    from lattigo_tpu.utils import lattigo_wire as lw
+    from lattigo_tpu.utils.lattigo_wire import _base2_digit_counts
+
+    params = rlwe.Parameters(rlwe.ParametersLiteral(
+        log_n=6, log_q=(40, 30, 31), log_p=(45,)))
+    kg = rlwe.KeyGenerator(params)
+    k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+    sk = kg.gen_secret_key(k0)
+    rlk = kg.gen_relinearization_key(k1, sk, base2=13)
+    data = lw.relinearization_key_to_bytes(rlk, params.q_moduli)
+    back = lw.relinearization_key_from_bytes(data)
+    assert back.gadget.base2 == rlk.gadget.base2 == 13
+    gq = np.asarray(rlk.gadget.value.q)
+    bq = np.asarray(back.gadget.value.q)
+    assert gq.shape == bq.shape
+    digs = _base2_digit_counts(params.q_moduli, 13)
+    max_dig = gq.shape[0] // len(params.q_moduli)
+    for i, c in enumerate(digs):
+        for j in range(max_dig):
+            r = i * max_dig + j
+            if j < c:
+                np.testing.assert_array_equal(gq[r], bq[r])
+            else:
+                assert not bq[r].any()   # padding rows zero
+    # serializing without moduli must fail loudly, not truncate
+    with pytest.raises(ValueError):
+        lw.relinearization_key_to_bytes(rlk)
