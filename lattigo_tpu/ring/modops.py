@@ -174,6 +174,21 @@ def mred_lazy(a, b, q, qinv):
     return hi - h + q
 
 
+def mred_wide(a, b, q, qinv):
+    """Montgomery product for a WIDE left operand: a·b·2^{-64} mod q with
+    only a·b < q·2^64 required (no a < 4q caller invariant), output [0, q).
+
+    Always takes the generic 64-bit path: the small-modulus cascade of
+    :func:`mred` assumes a < 4q and silently corrupts wider operands —
+    callers that feed accumulator-range values (e.g. the u64 MXU NTT's
+    digit recombination, where a ≈ 2^50 regardless of q) must use this.
+    """
+    hi = mul_hi(a, b)
+    m = (a * b) * qinv
+    h = mul_hi(m, q)
+    return cred(hi - h + q, q)
+
+
 def bred_mul(a, b, q, bred_hi, bred_lo):
     """Full Barrett product a·b mod q for a, b in [0, 2^63) (ref :127 BRed)."""
     mhi = mul_hi(a, b)

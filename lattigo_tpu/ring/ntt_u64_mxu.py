@@ -91,7 +91,11 @@ def _recombine8(p, axis: int, block: int, q, qinv, m32, c1, bhi, lazy: bool):
     # |lo|, |hi| < 2^50; shift by a multiple of q >= 2^50 before going u64
     lou = (lo + c1).astype(jnp.uint64)
     hiu = (hi + c1).astype(jnp.uint64)
-    t = lou + modops.mred(hiu, m32, q, qinv)  # ≡ lo + 2^32·hi (mod q)
+    # hiu ≈ 2^50 regardless of q: must be the WIDE Montgomery product —
+    # plain mred's small-q (< 2^30) cascade assumes a < 4q and silently
+    # corrupts every limb of a mixed-width chain whose prime is small
+    # (e.g. N15QP768's 25-bit residual prime)
+    t = lou + modops.mred_wide(hiu, m32, q, qinv)  # ≡ lo + 2^32·hi (mod q)
     if lazy:
         return modops.bred_add_lazy(t, q, bhi)
     return modops.bred_add(t, q, bhi)

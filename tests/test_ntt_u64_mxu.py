@@ -41,3 +41,28 @@ def test_u64_mxu_ntt_bit_exact():
     np.testing.assert_array_equal(got1, np.asarray(ring.ntt_single(1, x1)))
     back1 = np.asarray(mxu.intt_single(1, jnp.asarray(got1)))
     np.testing.assert_array_equal(back1, np.asarray(x1))
+
+
+def test_u64_mxu_small_and_mixed_primes():
+    """Mixed-width chains (25..50-bit) stay bit-exact: the digit
+    recombination's Montgomery step runs on accumulator-range operands
+    (~2^50) and must use mred_wide — plain mred's small-modulus (< 2^30)
+    cascade assumes a < 4q and corrupted every limb with a small prime
+    (regression: N15QP768's 25-bit residual prime, round 4)."""
+    n = 1 << 12
+    moduli = []
+    for bits in (25, 30, 33, 50):
+        moduli.append(NTTFriendlyPrimesGenerator(
+            bits, 2 * n).next_alternating_prime())
+    ring = Ring(n, moduli)
+    mxu = NTTMxu64(n, moduli, [s.psi for s in ring.subrings])
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(np.stack(
+        [rng.integers(0, q, (2, n), dtype=np.uint64) for q in moduli],
+        axis=-2))
+    want = np.asarray(ring.ntt(x))
+    got = np.asarray(mxu.ntt(x, len(moduli) - 1))
+    np.testing.assert_array_equal(got, want)
+    back = np.asarray(mxu.intt(jnp.asarray(got), len(moduli) - 1))
+    np.testing.assert_array_equal(back, np.asarray(x))

@@ -140,6 +140,10 @@ def main():
                     lambda: gate_engines(log_ns, [30]))
     ok &= check(f"u64 MXU engine vs plain, logN={log_ns}, q=50b",
                 lambda: gate_engines(log_ns, [50]))
+    # mixed-width chain (25-bit prime inside a u64-MXU chain): regression
+    # for the mred small-modulus corruption (round 4)
+    ok &= check("u64 MXU engine vs plain, logN=[15], q=25b",
+                lambda: gate_engines([15], [25]))
     if not quick:
         ok &= check("u64 MXU engine vs plain, logN=[14,16], q=60b",
                     lambda: gate_engines([14, 16], [60]))
