@@ -69,10 +69,12 @@ def main(log_n: int = 13, batch: int = 1, preset: str | None = None):
     b = bts.BootstrappingEvaluator(params, ev0, enc, btp)
     print(f"[{time.time()-t:.1f}s] params+evaluator built", file=sys.stderr, flush=True)
     t = time.time()
-    # small chunk: bounds the vmapped keygen's transient device memory at
-    # logN>=15 (each chunk holds all gadget rows + digit intermediates)
+    # small chunk bounds the vmapped keygen's transient device memory at
+    # logN>=15; level-scoped keys (levels=...) shrink the resident set —
+    # S2C keys only carry the bottom limbs
     gks = kgen.gen_galois_keys(k_gk, b.galois_elements(), sk,
-                               chunk=2 if log_n >= 15 else 8)
+                               chunk=2 if log_n >= 15 else 8,
+                               levels=b.galois_element_levels())
     ev = ckks.Evaluator(params, rlwe.EvaluationKeySet(
         relinearization_key=rlk, galois_keys=gks))
     b.with_evaluator(ev)

@@ -198,6 +198,11 @@ class BootstrappingEvaluator:
     def galois_elements(self) -> list[int]:
         return self.dft.galois_elements()
 
+    def galois_element_levels(self) -> dict[int, int]:
+        """gal_el → required key level (see DFTEvaluator
+        .galois_element_levels) — pass to gen_galois_keys(levels=...)."""
+        return self.dft.galois_element_levels()
+
     @property
     def minimum_input_level(self) -> int:
         """Lowest level a ciphertext may have on entry (ref

@@ -203,6 +203,22 @@ class DFTEvaluator:
         els.add(self.params.galois_element_order_two)  # conjugation
         return sorted(els)
 
+    def galois_element_levels(self) -> dict[int, int]:
+        """gal_el → highest level it is used at, for LEVEL-SCOPED key
+        generation (rlwe.KeyGenerator.gen_galois_keys(levels=...)): the
+        hoisted rotations of each linear-transform stage run at that
+        stage's level_q, so S2C keys need only the bottom few limbs —
+        a multi-x key-memory saving at production parameters."""
+        lvls: dict[int, int] = {}
+        for lt in self.c2s_mats + self.s2c_mats:
+            for el in lt.galois_elements(self.params):
+                lvls[el] = max(lvls.get(el, 0), lt.level_q)
+        # conjugation runs right after the last C2S rescale
+        conj = self.params.galois_element_order_two
+        post_c2s = self.c2s_mats[-1].level_q - 1 if self.c2s_mats else 0
+        lvls[conj] = max(lvls.get(conj, 0), post_c2s)
+        return lvls
+
     # -- pipeline ------------------------------------------------------------------
 
     def coeffs_to_slots(self, ct: Ciphertext):

@@ -69,6 +69,11 @@ class Evaluator:
         beta = digits.q.shape[-3]
         evq = gadget.value.q  # [beta_full, 2, LQ, N]
         evp = gadget.value.p  # [beta_full, 2, LP, N]
+        # level-scoped keys (gen_galois_keys(levels=...)) must cover the
+        # use level — a short key would slice to garbage silently
+        assert evq.shape[-2] >= lq and evq.shape[-4] >= beta, (
+            f"evaluation key generated at level {evq.shape[-2] - 1} "
+            f"used at level {level_q}")
 
         qmax = max(max(p.q_moduli[:lq]), max(p.p_moduli))
         margin = max(1, ((1 << 64) - 1) // (2 * qmax) - 1)

@@ -301,7 +301,9 @@ class KeyGenerator:
         return GaloisKey(gadget, gal_el)
 
     def gen_galois_keys(self, key, gal_els: list[int], sk: SecretKey,
-                        chunk: int = 8) -> dict[int, GaloisKey]:
+                        chunk: int = 8,
+                        levels: dict[int, int] | None = None
+                        ) -> dict[int, GaloisKey]:
         """All Galois keys in a few jitted+vmapped device calls.
 
         The per-key work (automorphism gather + gadget encryption) has
@@ -311,6 +313,14 @@ class KeyGenerator:
         (the reference's analog is goroutine-parallel keygen; the TPU-native
         analog is a batch axis). ``chunk`` bounds peak device memory
         (one key at logN=16/30 limbs is ~200 MB).
+
+        ``levels``: optional gal_el → level_q map producing LEVEL-SCOPED
+        keys — a key generated at level l has ceil((l+1)/alpha) gadget
+        rows of l+1+|P| limbs instead of the full chain, a multi-x memory
+        saving when most rotations happen far down the modulus chain (the
+        bootstrap's S2C stages). A key must be generated at (at least) the
+        highest level it will ever be used at; the gadget product slices
+        rows/limbs down for lower levels.
         """
         from lattigo_tpu.ring import automorphism as auto
         p = self.params
@@ -321,6 +331,25 @@ class KeyGenerator:
             keys = jax.random.split(key, len(gal_els))
             return {g: self.gen_galois_key(k, g, sk)
                     for g, k in zip(gal_els, keys)}
+        if levels is not None:
+            # group by level; one batched pass per distinct level
+            out: dict[int, GaloisKey] = {}
+            by_level: dict[int, list[int]] = {}
+            for g in gal_els:
+                by_level.setdefault(levels.get(g, p.max_level), []).append(g)
+            for lvl, els in sorted(by_level.items()):
+                key, sub = jax.random.split(key)
+                out.update(self._gen_galois_keys_level(
+                    sub, els, sk, chunk, lvl))
+            return out
+        return self._gen_galois_keys_level(key, gal_els, sk, chunk,
+                                           p.max_level)
+
+    def _gen_galois_keys_level(self, key, gal_els: list[int], sk: SecretKey,
+                               chunk: int, level_q: int
+                               ) -> dict[int, GaloisKey]:
+        from lattigo_tpu.ring import automorphism as auto
+        p = self.params
         ci = p.ring_q.ring_type == "conjugate_invariant"
         idx_fn = auto._ntt_index_ci_np if ci else auto._ntt_index_np
         idx_np = np.stack([idx_fn(p.n, p.galois_element_inverse(g))
@@ -333,7 +362,10 @@ class KeyGenerator:
         from lattigo_tpu.ring.tables import TableThreader
         threader = TableThreader(p.ring_q, p.ring_p)
 
-        jit_fn = getattr(self, "_gk_batched_jit", None)
+        jits = getattr(self, "_gk_batched_jits", None)
+        if jits is None:
+            jits = self._gk_batched_jits = {}
+        jit_fn = jits.get(level_q)
         if jit_fn is None:
             def batched(tabs, ks, idx, sk_q, sk_p):
                 old = threader.install(tabs)
@@ -341,11 +373,12 @@ class KeyGenerator:
                     def one(k, ix):
                         sk_out = SecretKey(QPPoly(auto.apply_ntt(sk_q, ix),
                                                   auto.apply_ntt(sk_p, ix)))
-                        return self.gadget_encrypt(k, sk_q, sk_out)
+                        return self.gadget_encrypt(k, sk_q, sk_out,
+                                                   level_q=level_q)
                     return jax.vmap(one)(ks, idx)
                 finally:
                     threader.install(old)
-            jit_fn = self._gk_batched_jit = jax.jit(batched)
+            jit_fn = jits[level_q] = jax.jit(batched)
 
         out: dict[int, GaloisKey] = {}
         for lo in range(0, len(gal_els), chunk):

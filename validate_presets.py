@@ -38,7 +38,8 @@ def validate(name: str, log_n: int = 9) -> float:
     enc = ckks.Encoder(params)
     b = bts.BootstrappingEvaluator(params, ckks.Evaluator(
         params, rlwe.EvaluationKeySet(relinearization_key=rlk)), enc, btp)
-    gks = kgen.gen_galois_keys(k_gk, b.galois_elements(), sk)
+    gks = kgen.gen_galois_keys(k_gk, b.galois_elements(), sk,
+                               levels=b.galois_element_levels())
     b.with_evaluator(ckks.Evaluator(params, rlwe.EvaluationKeySet(
         relinearization_key=rlk, galois_keys=gks)))
     keys = b.gen_encapsulation_keys(jax.random.PRNGKey(7), sk)
