@@ -218,3 +218,33 @@ def test_batched_encrypt(ctx):
     assert ct.value.shape[:1] == (4,)
     pt = dec.decrypt(ct)
     assert pt.value.shape[:1] == (4,)
+
+
+def test_level_scoped_galois_keys():
+    """Keys generated at a reduced level (gen_galois_keys(levels=...))
+    rotate correctly at that level, and the gadget product refuses a key
+    that is too short for the use level."""
+    import pytest
+    from lattigo_tpu.schemes import ckks
+
+    params = ckks.Parameters(ckks.ParametersLiteral(
+        log_n=8, log_q=(45, 35, 35), log_p=(50,), log_default_scale=35))
+    kgen = rlwe.KeyGenerator(params)
+    k_sk, k_gk, k_ct = jax.random.split(jax.random.PRNGKey(5), 3)
+    sk = kgen.gen_secret_key(k_sk)
+    el = params.galois_element(1)
+    gks = kgen.gen_galois_keys(k_gk, [el], sk, levels={el: 1})
+    assert gks[el].gadget.value.q.shape[-2] == 2  # level-1 rows only
+    enc = ckks.Encoder(params)
+    ev = ckks.Evaluator(params, rlwe.EvaluationKeySet(galois_keys=gks))
+    rng = np.random.default_rng(0)
+    v = rng.uniform(-1, 1, params.max_slots)
+    ct = rlwe.Encryptor(params, sk).encrypt(
+        k_ct, enc.encode(v)).at_level(1)
+    out = ev.rotate(ct, 1)
+    got = np.real(enc.decode(rlwe.Decryptor(params, sk).decrypt(out)))
+    ckks.verify_test_vectors(np.roll(v, -1), got, min_precision=15.0)
+    # using the short key above its generation level must fail loudly
+    ct_full = rlwe.Encryptor(params, sk).encrypt(k_ct, enc.encode(v))
+    with pytest.raises(AssertionError):
+        ev.rotate(ct_full, 1)
