@@ -29,9 +29,17 @@ from lattigo_tpu.circuits import bootstrapping as bts
 from lattigo_tpu.circuits import bootstrapping_presets as bp
 
 
-def main(log_n: int = 13, batch: int = 1, preset: str | None = None):
+def main(log_n: int = 13, batch: int = 1, preset: str | None = None,
+         preset_log_n: int | None = None):
     if preset is not None:
         residual, lit = getattr(bp, preset)
+        if preset_log_n is not None:
+            # run the preset's exact chain/recipe at a reduced ring degree
+            # (same knob as validate_presets.py, but on the default —
+            # TPU — platform): isolates degree- and platform-dependent
+            # precision effects at matched structure.
+            from dataclasses import replace
+            residual = replace(residual, log_n=preset_log_n)
         log_n = residual.log_n
     else:
         # Sparse H=192 main secret + H=32 ephemeral encapsulation: the Mod1
@@ -126,7 +134,13 @@ def main(log_n: int = 13, batch: int = 1, preset: str | None = None):
 
 if __name__ == "__main__":
     a = sys.argv[1:]
+    pln = None
+    if "--log-n" in a:
+        i = a.index("--log-n")
+        pln = int(a[i + 1])
+        del a[i:i + 2]
     if a and a[0] == "--preset":
-        main(batch=int(a[2]) if len(a) > 2 else 1, preset=a[1])
+        main(batch=int(a[2]) if len(a) > 2 else 1, preset=a[1],
+             preset_log_n=pln)
     else:
         main(int(a[0]) if a else 13, int(a[1]) if len(a) > 1 else 1)
