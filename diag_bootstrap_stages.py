@@ -1,0 +1,109 @@
+"""Localize the published-preset precision slope: per-stage bootstrap error.
+
+Usage: python diag_bootstrap_stages.py [log_n] [preset]
+
+Context (round 4 measurement): published preset recipes lose ~1.3 bits per
+logN step (N15QP768: 13.9 bits at logN=9, 11.3 at logN=11 on CPU, 6.1 at
+the full logN=15 on chip — exactly on the line, so it is a recipe-scaling
+property, not a TPU numeric issue; the reference publishes 15.4 at logN=15).
+
+This script measures, at matched structure on CPU:
+  - post-EvalMod slot error vs the EXACT level-0 integer payload m_int/q0
+    (amplified x2^log_message_ratio into message units),
+  - final end-to-end error.
+Run it at two log_n values and compare slopes: if the post-EvalMod error
+carries the ~1.3 bits/logN slope, the loss is at or before EvalMod;
+otherwise it is in SlotsToCoeffs.
+
+CAUTION: stages run EAGERLY — at logN>=9 on a full preset chain this takes
+>15 min of CPU; prefer an idle host, or port the per-stage jit pattern from
+BootstrappingEvaluator.jitted if iterating.
+"""
+import sys
+import time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from dataclasses import replace
+from fractions import Fraction
+
+from lattigo_tpu import rlwe
+from lattigo_tpu.schemes import ckks
+from lattigo_tpu.circuits import bootstrapping as bts
+from lattigo_tpu.circuits import bootstrapping_presets as bp
+from lattigo_tpu.circuits.dft import bit_reversal_permutation
+
+PRESET = sys.argv[2] if len(sys.argv) > 2 else "N15QP768_H192_H32"
+log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 9
+
+residual, lit = getattr(bp, PRESET)
+residual = replace(residual, log_n=log_n)
+full, btp_p = bp.build_bootstrapping_parameters(residual, lit)
+params = ckks.Parameters(full)
+kgen = rlwe.KeyGenerator(params)
+k_sk, k_rlk, k_gk, k_ct = jax.random.split(jax.random.PRNGKey(0), 4)
+sk = kgen.gen_secret_key(k_sk)
+rlk = kgen.gen_relinearization_key(k_rlk, sk)
+enc = ckks.Encoder(params)
+b = bts.BootstrappingEvaluator(params, ckks.Evaluator(
+    params, rlwe.EvaluationKeySet(relinearization_key=rlk)), enc, btp_p)
+gks = kgen.gen_galois_keys(k_gk, b.galois_elements(), sk,
+                           levels=b.galois_element_levels())
+ev = ckks.Evaluator(params, rlwe.EvaluationKeySet(
+    relinearization_key=rlk, galois_keys=gks))
+b.with_evaluator(ev)
+keys = b.gen_encapsulation_keys(jax.random.PRNGKey(7), sk)
+dec = rlwe.Decryptor(params, sk)
+
+rng = np.random.default_rng(1)
+n = params.max_slots
+v = rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)
+ct = rlwe.Encryptor(params, sk).encrypt(
+    k_ct, enc.encode(v)).at_level(b.minimum_input_level)
+
+t0 = time.time()
+ct0 = b.scale_down(ct)
+q0 = params.q_moduli[0]
+# exact level-0 integer payload (includes input RLWE noise - that's the
+# signal the pipeline must preserve)
+pt0 = dec.decrypt(ct0, out_ntt=False)
+m_int = np.array(
+    [int(x) for x in params.ring_q.to_int_coeffs(
+        np.asarray(pt0.value), 0, centered=True)], dtype=np.float64)
+delta0 = Fraction(ct0.scale)
+
+if keys.evk_dense_to_sparse is not None:
+    ct0 = ev.apply_evaluation_key(ct0, keys.evk_dense_to_sparse)
+up = b.mod_up(ct0)
+if keys.evk_sparse_to_dense is not None:
+    up = ev.apply_evaluation_key(up, keys.evk_sparse_to_dense)
+ct_re, ct_im = b.coeffs_to_slots(up)
+m_re = b.eval_mod(ct_re)
+m_im = b.eval_mod(ct_im)
+print(f"[{time.time()-t0:.0f}s] stages done", file=sys.stderr)
+
+# post-EvalMod slots should hold m_k/q0 (first half) and m_{k+n}/q0,
+# bit-reversed; decode() divides by the ct scale so values come out in
+# m/q0 units directly
+got_re = enc.decode(dec.decrypt(m_re)).real
+got_im = enc.decode(dec.decrypt(m_im)).real
+perm = bit_reversal_permutation(n)
+exp_re = m_int[:n] / q0
+exp_im = m_int[n:] / q0
+best = None
+for tag, pr in (("bitrev", perm), ("identity", np.arange(n))):
+    e = max(np.abs(got_re - exp_re[pr]).max(),
+            np.abs(got_im - exp_im[pr]).max())
+    if best is None or e < best[1]:
+        best = (tag, e)
+ratio = float(Fraction(q0) / delta0)
+e_mod1_msg = best[1] * ratio
+print(f"logN={log_n} {PRESET}: post-EvalMod err ({best[0]}) = "
+      f"2^{np.log2(best[1]):.1f} (m/q0 units) -> "
+      f"{-np.log2(e_mod1_msg):.1f} bits in message units")
+
+out = b.dft.slots_to_coeffs(m_re, m_im)
+out = out.replace(scale=Fraction(out.scale) * delta0 / Fraction(q0))
+got = enc.decode(dec.decrypt(out))
+err = np.abs(got - v).max()
+print(f"logN={log_n} {PRESET}: end-to-end {-np.log2(err):.1f} bits")
