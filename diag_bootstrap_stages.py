@@ -1,6 +1,6 @@
 """Localize the published-preset precision slope: per-stage bootstrap error.
 
-Usage: python diag_bootstrap_stages.py [log_n] [preset]
+Usage: PYTHONPATH=. python diag_bootstrap_stages.py [log_n] [preset]
 
 Context (round 4 measurement): published preset recipes lose ~1.3 bits per
 logN step (N15QP768: 13.9 bits at logN=9, 11.3 at logN=11 on CPU, 6.1 at
@@ -15,15 +15,17 @@ Run it at two log_n values and compare slopes: if the post-EvalMod error
 carries the ~1.3 bits/logN slope, the loss is at or before EvalMod;
 otherwise it is in SlotsToCoeffs.
 
-CAUTION: stages run EAGERLY — at logN>=9 on a full preset chain this takes
->15 min of CPU; prefer an idle host, or port the per-stage jit pattern from
-BootstrappingEvaluator.jitted if iterating.
+Stages run through BootstrappingEvaluator.jitted's exposed ``.stages``
+(small per-stage XLA programs, persistent-cached under /tmp/jax_cache so
+repeat runs skip the compile).
 """
 import sys
 import time
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 from dataclasses import replace
 from fractions import Fraction
 
@@ -33,8 +35,8 @@ from lattigo_tpu.circuits import bootstrapping as bts
 from lattigo_tpu.circuits import bootstrapping_presets as bp
 from lattigo_tpu.circuits.dft import bit_reversal_permutation
 
-PRESET = sys.argv[2] if len(sys.argv) > 2 else "N15QP768_H192_H32"
 log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 9
+PRESET = sys.argv[2] if len(sys.argv) > 2 else "N15QP768_H192_H32"
 
 residual, lit = getattr(bp, PRESET)
 residual = replace(residual, log_n=log_n)
@@ -61,30 +63,27 @@ v = rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)
 ct = rlwe.Encryptor(params, sk).encrypt(
     k_ct, enc.encode(v)).at_level(b.minimum_input_level)
 
-t0 = time.time()
+# exact level-0 integer payload (includes input RLWE noise — that is the
+# signal the pipeline must preserve)
 ct0 = b.scale_down(ct)
 q0 = params.q_moduli[0]
-# exact level-0 integer payload (includes input RLWE noise - that's the
-# signal the pipeline must preserve)
 pt0 = dec.decrypt(ct0, out_ntt=False)
 m_int = np.array(
     [int(x) for x in params.ring_q.to_int_coeffs(
         np.asarray(pt0.value), 0, centered=True)], dtype=np.float64)
 delta0 = Fraction(ct0.scale)
 
-if keys.evk_dense_to_sparse is not None:
-    ct0 = ev.apply_evaluation_key(ct0, keys.evk_dense_to_sparse)
-up = b.mod_up(ct0)
-if keys.evk_sparse_to_dense is not None:
-    up = ev.apply_evaluation_key(up, keys.evk_sparse_to_dense)
-ct_re, ct_im = b.coeffs_to_slots(up)
-m_re = b.eval_mod(ct_re)
-m_im = b.eval_mod(ct_im)
-print(f"[{time.time()-t0:.0f}s] stages done", file=sys.stderr)
+t0 = time.time()
+fn = b.jitted(ct, keys=keys)
+st = fn.stages
+up = st["pre"](ct)
+ct_re, ct_im = st["c2s"](up)
+m_re = st["mod1"](ct_re)
+m_im = st["mod1"](ct_im)
+print(f"[{time.time()-t0:.0f}s] pre/c2s/mod1 done", file=sys.stderr)
 
-# post-EvalMod slots should hold m_k/q0 (first half) and m_{k+n}/q0,
-# bit-reversed; decode() divides by the ct scale so values come out in
-# m/q0 units directly
+# post-EvalMod slots hold m_k/q0 (first half) and m_{k+n}/q0, bit-reversed;
+# decode() divides by the ct scale so values come out in m/q0 units
 got_re = enc.decode(dec.decrypt(m_re)).real
 got_im = enc.decode(dec.decrypt(m_im)).real
 perm = bit_reversal_permutation(n)
@@ -102,7 +101,7 @@ print(f"logN={log_n} {PRESET}: post-EvalMod err ({best[0]}) = "
       f"2^{np.log2(best[1]):.1f} (m/q0 units) -> "
       f"{-np.log2(e_mod1_msg):.1f} bits in message units")
 
-out = b.dft.slots_to_coeffs(m_re, m_im)
+out = st["s2c"](m_re, m_im)
 out = out.replace(scale=Fraction(out.scale) * delta0 / Fraction(q0))
 got = enc.decode(dec.decrypt(out))
 err = np.abs(got - v).max()

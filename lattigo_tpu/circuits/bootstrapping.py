@@ -539,6 +539,13 @@ class BootstrappingEvaluator:
                                 scale=Fraction(ex_out.scale) * delta0 / q0)
         wrapped.out_shape = jax.ShapeDtypeStruct(ex_out.value.shape,
                                                  ex_out.value.dtype)
+        # Expose the compiled stage functions for per-stage diagnosis
+        # (decrypt between stages; each is a small cached XLA program —
+        # see diag_bootstrap_stages.py and the verify skill's stage-jit
+        # pattern): pre = ScaleDown+ModUp(+encapsulation), c2s → (re, im),
+        # mod1 (one program, reused for both halves), s2c(re, im) — the
+        # final q0 relabel (×delta0/q0) is NOT applied by the raw s2c.
+        wrapped.stages = dict(pre=f_pre, c2s=f_c2s, mod1=f_mod1, s2c=f_s2c)
         return wrapped
 
 
