@@ -84,8 +84,18 @@ print(f"[{time.time()-t0:.0f}s] pre/c2s/mod1 done", file=sys.stderr)
 
 # post-EvalMod slots hold m_k/q0 (first half) and m_{k+n}/q0, bit-reversed;
 # decode() divides by the ct scale so values come out in m/q0 units
-got_re = enc.decode(dec.decrypt(m_re)).real
-got_im = enc.decode(dec.decrypt(m_im)).real
+dec_re = enc.decode(dec.decrypt(m_re))
+dec_im = enc.decode(dec.decrypt(m_im))
+# the halves should be REAL: any imaginary component is error that the
+# re + i*im recombination folds straight into the final output (the
+# real-part error of one half cannot cancel the imag-part of the other)
+imag_err = max(np.abs(dec_re.imag).max(), np.abs(dec_im.imag).max())
+print(f"logN={log_n} {PRESET}: post-EvalMod IMAG component = "
+      f"2^{np.log2(imag_err):.1f} (m/q0 units) -> "
+      f"{-np.log2(imag_err * float(Fraction(q0) / delta0)):.1f} bits "
+      f"in message units")
+got_re = dec_re.real
+got_im = dec_im.real
 perm = bit_reversal_permutation(n)
 exp_re = m_int[:n] / q0
 exp_im = m_int[n:] / q0
