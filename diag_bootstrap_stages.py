@@ -112,7 +112,37 @@ print(f"logN={log_n} {PRESET}: post-EvalMod err ({best[0]}) = "
       f"{-np.log2(e_mod1_msg):.1f} bits in message units")
 
 out = st["s2c"](m_re, m_im)
+
+# RAW S2C audit (pre-relabel): S2C inverts the C2S packing, so the output
+# COEFFICIENTS are the measured slot values directly: coeff[pr(j)] =
+# scale*dec_re[j], coeff[pr(j)+n] = scale*dec_im[j]. Any difference is
+# error ADDED by the homomorphic S2C itself (given its actual input),
+# in coefficient units.
+pt_got = dec.decrypt(out, out_ntt=False)
+got_c = np.array([float(x) for x in params.ring_q.to_int_coeffs(
+    np.asarray(pt_got.value), out.level, centered=True)])
+sc = float(Fraction(out.scale))
+pr = perm if best[0] == "bitrev" else np.arange(n)
+exp_c = np.zeros(2 * n)
+exp_c[pr] = sc * got_re
+exp_c[pr + n] = sc * got_im
+dc = got_c - exp_c
+print(f"logN={log_n} {PRESET}: raw-S2C added coeff err max={np.abs(dc).max():.3g} "
+      f"rms={np.sqrt((dc**2).mean()):.3g} (scale 2^{np.log2(sc):.1f}) -> "
+      f"slot units ~2^{np.log2(np.abs(dc).max() * np.sqrt(n) / sc):.1f}")
+
 out = out.replace(scale=Fraction(out.scale) * delta0 / Fraction(q0))
 got = enc.decode(dec.decrypt(out))
 err = np.abs(got - v).max()
 print(f"logN={log_n} {PRESET}: end-to-end {-np.log2(err):.1f} bits")
+
+# Structure probe: is the final error a systematic scalar (scale-label
+# mismatch — err ∝ v) rather than noise? Fit got ≈ c·v and report the
+# residual; a drop of several bits with |c−1| ≈ err means the loss is a
+# deterministic multiplicative term, fixable exactly in metadata.
+d = got - v
+c = np.vdot(v, got).real / np.vdot(v, v).real
+res = np.abs(got - c * v).max()
+print(f"logN={log_n} {PRESET}: scalar fit c-1={c-1:.3e} -> residual "
+      f"{-np.log2(res):.1f} bits (vs {-np.log2(err):.1f} raw); "
+      f"err-vs-v corr={abs(np.vdot(v, d)) / (np.linalg.norm(v) * np.linalg.norm(d)):.3f}")
