@@ -28,25 +28,36 @@ LATTIGO_CPU_NTT_PER_SEC_EST = 20_000.0
 
 def _measure_engine(ring, batch: int, n_limbs: int, q: int, *,
                     windows: int = 7, iters: int = 10):
-    """Median per-call seconds over dependency-chained windows."""
-    import numpy as np
+    """Median per-NTT-call seconds over dependency-chained windows.
+
+    The ``iters``-long serial chain is fused INSIDE one jitted program, so
+    a window is ONE device dispatch: per-call dispatch latency (several ms
+    through the axon tunnel — larger than the kernel itself at logN=14) is
+    amortized 1/iters instead of dominating the measurement, while the
+    data dependency still defeats async undercounting and result caching.
+    An NTT is a bijection implemented as matmul/permute stages, so XLA
+    cannot collapse the composition."""
     import jax
     import jax.numpy as jnp
 
     n = ring.n
     key = jax.random.PRNGKey(0)
     x = jax.random.randint(key, (batch, n_limbs, n), 0, q, dtype=jnp.uint64)
-    fwd = jax.jit(lambda a: ring.ntt(a))
-    y = fwd(x)
+
+    def chain(a):
+        for _ in range(iters):
+            a = ring.ntt(a)
+        return a
+
+    jchain = jax.jit(chain)
+    y = jchain(x)
     jax.block_until_ready(y)  # compile + sync
 
     times = []
     for _ in range(windows):
         t0 = time.perf_counter()
-        z = y
-        for _ in range(iters):
-            z = fwd(z)  # serial chain: no async undercounting
-        jax.block_until_ready(z)
+        y = jchain(y)  # serial chain across windows too
+        jax.block_until_ready(y)
         times.append((time.perf_counter() - t0) / iters)
     med = statistics.median(times)
     spread = max(times) / min(times)
