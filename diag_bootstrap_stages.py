@@ -82,6 +82,27 @@ m_re = st["mod1"](ct_re)
 m_im = st["mod1"](ct_im)
 print(f"[{time.time()-t0:.0f}s] pre/c2s/mod1 done", file=sys.stderr)
 
+# --- post-C2S audit: decrypt the C2S outputs and compare against the
+# EXACT full-chain payload M = m + q0*I (decrypted from `up` as centered
+# big-ints). Expected slots (up to the folded constants) are M[pr]/q0;
+# a least-squares scalar fit absorbs the folded 1/K-and-anticipation
+# factor so the residual is pure C2S-added noise. This splits the mod1
+# slot error into "C2S injects it" vs "the EvalMod evaluation injects it".
+perm0 = bit_reversal_permutation(n)
+pt_up = dec.decrypt(up, out_ntt=False)
+M = np.array([float(x) for x in params.ring_q.to_int_coeffs(
+    np.asarray(pt_up.value), up.level, centered=True)])
+c2s_re = enc.decode(dec.decrypt(ct_re)).real
+c2s_im = enc.decode(dec.decrypt(ct_im)).real
+for tag, got_h, exp_h in (("re", c2s_re, M[:n][perm0] / q0),
+                          ("im", c2s_im, M[n:][perm0] / q0)):
+    cfit = np.dot(exp_h, got_h) / np.dot(exp_h, exp_h)
+    res = np.abs(got_h - cfit * exp_h) / abs(cfit)   # payload/q0 units
+    print(f"logN={log_n} {PRESET}: post-C2S {tag}: fit c={cfit:.6g} "
+          f"residual rms 2^{np.log2(np.sqrt((res**2).mean())):.1f} "
+          f"max 2^{np.log2(res.max()):.1f} (payload/q0 units, "
+          f"|payload| rms 2^{np.log2(np.sqrt((exp_h**2).mean())):.1f})")
+
 # post-EvalMod slots hold m_k/q0 (first half) and m_{k+n}/q0, bit-reversed;
 # decode() divides by the ct scale so values come out in m/q0 units
 dec_re = enc.decode(dec.decrypt(m_re))

@@ -170,7 +170,22 @@ class DFTEvaluator:
         lq_s2c = params.max_level if level_q_s2c is None else level_q_s2c
 
         c2s_diags = dft_level_diagonals(n, self.c2s_levels, inverse=True)
-        c2s_diags[-1] = {k: v * c2s_scaling for k, v in c2s_diags[-1].items()}
+        # Distribute the folded constant as its depth-th root into EVERY
+        # C2S matrix (ref dft.go:163 NewMatrixFromLiteral: ``scaling =
+        # Pow(scaling, 1/d)`` applied per level) instead of folding it all
+        # into the last one. The bootstrap's factor is ≫ 1 (0.5·(1/K)·
+        # 2^mod1_log_scale/q0, e.g. 2^12 at N15QP768), so folding it late
+        # ran every intermediate C2S stage at the raw q0 scale, where the
+        # rotation key-switch/rounding noise of the NEXT stage is amplified
+        # by the full remaining factor — measured as THE dominant bootstrap
+        # error term (post-C2S slot noise 2^-27.8 rms at logN=9, carried
+        # unchanged through EvalMod and S2C to the output). The total
+        # folded factor is unchanged, so the exact-Fraction relabel after
+        # C2S is untouched; only intermediate VALUE magnitudes grow, well
+        # under the chain headroom.
+        per_level = c2s_scaling ** (1.0 / len(c2s_diags))
+        c2s_diags = [{k: v * per_level for k, v in d.items()}
+                     for d in c2s_diags]
         self.c2s_mats = self._encode_mats(c2s_diags, lq_c2s)
         self.s2c_mats = self._encode_mats(
             dft_level_diagonals(n, self.s2c_levels, inverse=False), lq_s2c)
