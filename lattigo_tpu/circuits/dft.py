@@ -170,22 +170,28 @@ class DFTEvaluator:
         lq_s2c = params.max_level if level_q_s2c is None else level_q_s2c
 
         c2s_diags = dft_level_diagonals(n, self.c2s_levels, inverse=True)
-        # Distribute the folded constant as its depth-th root into EVERY
-        # C2S matrix (ref dft.go:163 NewMatrixFromLiteral: ``scaling =
-        # Pow(scaling, 1/d)`` applied per level) instead of folding it all
-        # into the last one. The bootstrap's factor is ≫ 1 (0.5·(1/K)·
-        # 2^mod1_log_scale/q0, e.g. 2^12 at N15QP768), so folding it late
-        # ran every intermediate C2S stage at the raw q0 scale, where the
-        # rotation key-switch/rounding noise of the NEXT stage is amplified
-        # by the full remaining factor — measured as THE dominant bootstrap
-        # error term (post-C2S slot noise 2^-27.8 rms at logN=9, carried
-        # unchanged through EvalMod and S2C to the output). The total
-        # folded factor is unchanged, so the exact-Fraction relabel after
-        # C2S is untouched; only intermediate VALUE magnitudes grow, well
-        # under the chain headroom.
-        per_level = c2s_scaling ** (1.0 / len(c2s_diags))
-        c2s_diags = [{k: v * per_level for k, v in d.items()}
-                     for d in c2s_diags]
+        # WHERE the folded constant lives determines how much rotation
+        # key-switch/rounding noise it amplifies: stage-i KS noise is
+        # multiplied by every factor folded at stages ≥ i. So a factor > 1
+        # (the bootstrap's 0.5·(1/K)·2^mod1_log_scale/q0, e.g. 2^12 at
+        # N15QP768) goes ENTIRELY into the FIRST matrix — only stage-1
+        # noise pays it, unavoidably, since its rotations precede every
+        # matrix — and a factor < 1 goes entirely into the LAST, so it
+        # attenuates all earlier stages' noise. (The reference distributes
+        # Scaling^(1/d) per level, dft.go:163 — fold-early is never worse
+        # than that for factors > 1; measured at logN=9: fold-late 13.9
+        # bits, distributed and fold-early both 16.0 — stage-1 noise,
+        # which pays ×factor under every policy, dominates once the later
+        # stages are relieved.) The total
+        # factor is unchanged, so the exact-Fraction relabel after C2S is
+        # untouched; only intermediate VALUE magnitudes grow, well under
+        # the chain headroom, and the matrix quantisation error RELATIVE
+        # to the now-larger entries shrinks. Folding late was THE dominant
+        # bootstrap error term (post-C2S slot noise 2^-27.8 rms at logN=9,
+        # carried unchanged through EvalMod and S2C to the output).
+        target = 0 if c2s_scaling >= 1.0 else -1
+        c2s_diags[target] = {k: v * c2s_scaling
+                             for k, v in c2s_diags[target].items()}
         self.c2s_mats = self._encode_mats(c2s_diags, lq_c2s)
         self.s2c_mats = self._encode_mats(
             dft_level_diagonals(n, self.s2c_levels, inverse=False), lq_s2c)
