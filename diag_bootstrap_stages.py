@@ -92,6 +92,18 @@ perm0 = bit_reversal_permutation(n)
 pt_up = dec.decrypt(up, out_ntt=False)
 M = np.array([float(x) for x in params.ring_q.to_int_coeffs(
     np.asarray(pt_up.value), up.level, centered=True)])
+
+# encapsulation noise: the dense->sparse + sparse->dense key switches
+# around ModUp add eps directly to the level-0 payload (M mod q0 = m_int +
+# eps). eps is NOT visible to the downstream stage audits (they use M as
+# ground truth) but lands on the message at full 2^ratio amplification.
+m_after = ((M % q0) + q0 / 2) % q0 - q0 / 2
+eps = m_after - m_int
+ratio_f = float(Fraction(q0) / delta0)
+eps_msg = np.sqrt((eps ** 2).mean()) * np.sqrt(2 * n) * ratio_f / q0
+print(f"logN={log_n} {PRESET}: encapsulation noise rms {np.sqrt((eps**2).mean()):.3g} "
+      f"max {np.abs(eps).max():.3g} coeff units -> ~2^{np.log2(max(eps_msg, 1e-300)):.1f} "
+      f"message units (rms-based)")
 c2s_re = enc.decode(dec.decrypt(ct_re)).real
 c2s_im = enc.decode(dec.decrypt(ct_im)).real
 for tag, got_h, exp_h in (("re", c2s_re, M[:n][perm0] / q0),
