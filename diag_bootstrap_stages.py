@@ -90,7 +90,11 @@ print(f"[{time.time()-t0:.0f}s] pre/c2s/mod1 done", file=sys.stderr)
 # slot error into "C2S injects it" vs "the EvalMod evaluation injects it".
 perm0 = bit_reversal_permutation(n)
 pt_up = dec.decrypt(up, out_ntt=False)
-M = np.array([float(x) for x in params.ring_q.to_int_coeffs(
+# the pre stage amplifies by round(2^evalmod_scale/q0) (exact integer
+# multiply, ref evaluator.go:709) — divide it back out exactly
+s_up = round(Fraction(up.scale) / Fraction(q0))
+M = np.array([float((int(x) + (s_up >> 1)) // s_up)
+              for x in params.ring_q.to_int_coeffs(
     np.asarray(pt_up.value), up.level, centered=True)])
 
 # encapsulation noise: the dense->sparse + sparse->dense key switches
@@ -132,6 +136,34 @@ got_im = dec_im.real
 perm = bit_reversal_permutation(n)
 exp_re = m_int[:n] / q0
 exp_im = m_int[n:] / q0
+
+# Pure-math EvalMod on the MEASURED C2S outputs: splits the post-EvalMod
+# error into (a) the ladder's RLWE noise (got − model) and (b) the
+# polynomial approximation error (model − m/q0). Whichever dominates is
+# the next precision target.
+from numpy.polynomial import chebyshev as _cheb
+_m1 = b.mod1
+_cf = np.array([float(c) for c in _m1._poly.coeffs])
+
+
+def _math_mod1(u):
+    c = _cheb.chebval(u, _cf)
+    si = _m1._sqrt2pi
+    for _ in range(_m1._r):
+        c = 2 * c * c - si * si
+        si = si * si
+    return c
+
+
+_model = _math_mod1(np.stack([c2s_re, c2s_im]))
+_gotm = np.stack([got_re, got_im])
+_expm = np.stack([exp_re[perm], exp_im[perm]])
+for _name, _d in (("ladder RLWE (got-model)", _gotm - _model),
+                  ("approx (model-exp)", _model - _expm)):
+    _a = np.abs(_d)
+    print(f"logN={log_n} {PRESET}: EvalMod split {_name}: rms 2^"
+          f"{np.log2(np.sqrt((_a**2).mean())):.1f} max 2^{np.log2(_a.max()):.1f}"
+          f" (m/q0 units)")
 best = None
 for tag, pr in (("bitrev", perm), ("identity", np.arange(n))):
     e = max(np.abs(got_re - exp_re[pr]).max(),
@@ -163,6 +195,32 @@ dc = got_c - exp_c
 print(f"logN={log_n} {PRESET}: raw-S2C added coeff err max={np.abs(dc).max():.3g} "
       f"rms={np.sqrt((dc**2).mean()):.3g} (scale 2^{np.log2(sc):.1f}) -> "
       f"slot units ~2^{np.log2(np.abs(dc).max() * np.sqrt(n) / sc):.1f}")
+
+# SLOT-domain view of the S2C-added error in final message units: if its
+# max >> rms·sqrt(ln n) the error is coherent (concentrated on a few
+# slots — structural, e.g. a mis-quantized diagonal), which an rms coeff
+# audit cannot see. Print the top offender slots.
+scale_final = sc * float(delta0 / Fraction(q0))
+err_sl = enc.coeffs_to_slots(dc) / scale_final
+mag = np.abs(err_sl)
+top = np.argsort(mag)[::-1][:6]
+print(f"logN={log_n} {PRESET}: S2C-added SLOT err (msg units): "
+      f"rms 2^{np.log2(np.sqrt((mag**2).mean())):.1f} "
+      f"max 2^{np.log2(mag.max()):.1f} at slots {top.tolist()} "
+      f"(mags {[float(f'{mag[t]:.3g}') for t in top]})")
+
+# Exact linear decomposition of the final error: err_total = err_pre +
+# err_s2c, where err_pre = decode(exp_c)/scale − v carries EVERYTHING
+# through EvalMod (input noise, encapsulation, C2S, EvalMod) and err_s2c
+# = decode(dc)/scale is the S2C-added part. err_in isolates the input
+# ciphertext's own noise (m_int vs v) as the floor no pipeline can beat.
+err_pre = enc.coeffs_to_slots(exp_c) / scale_final - v
+err_in = enc.coeffs_to_slots(m_int) / float(delta0) - v
+for tag, e in (("err_in (input ct noise)", err_in),
+               ("err_pre (everything thru EvalMod)", err_pre)):
+    m_ = np.abs(e)
+    print(f"logN={log_n} {PRESET}: {tag}: rms 2^"
+          f"{np.log2(np.sqrt((m_**2).mean())):.1f} max 2^{np.log2(m_.max()):.1f}")
 
 out = out.replace(scale=Fraction(out.scale) * delta0 / Fraction(q0))
 got = enc.decode(dec.decrypt(out))

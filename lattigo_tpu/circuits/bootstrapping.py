@@ -119,8 +119,26 @@ class BootstrappingEvaluator:
         # error (measured: 6+ bits at logN=13 with Δ_in=q0=2^55, q_em=2^60).
         self._mod1_scale = (None if m1.log_scale is None
                            else Fraction(2) ** m1.log_scale)
-        anticipate = (1.0 if self._mod1_scale is None
-                      else float(self._mod1_scale / Fraction(params.q_moduli[0])))
+        # ModUp amplification (ref evaluator.go:709 "Scale the message from
+        # Q0/|m| to QL/|m|"): the lifted payload m + q0·I is TINY against
+        # the full chain, so it is multiplied by round(2^log_scale/q0) ≈
+        # 2^17 at N15QP768 as an EXACT integer scalar right after the lift
+        # — before the sparse→dense switch and before every C2S rotation.
+        # Every downstream key-switch/ModDown/rescale rounding error then
+        # lands on a 2^17×-larger payload, i.e. is suppressed by the same
+        # factor relative to the message. Folding the full factor into the
+        # C2S matrices instead (rounds 1–4) leaves the first-stage rotation
+        # noise amplified by the whole factor — measured as the ~1.3
+        # bits/logN precision slope of the published presets.
+        if self._mod1_scale is None:
+            self._modup_scalar = 1
+            anticipate = 1.0
+        else:
+            q0_f = Fraction(params.q_moduli[0])
+            self._modup_scalar = max(1, round(float(self._mod1_scale / q0_f)))
+            # residual (non-integer) part of the division by q0, folded
+            # into the C2S constants; ≈ 1 once the scalar took the bulk
+            anticipate = float(self._mod1_scale / (q0_f * self._modup_scalar))
         self.dft = dft_mod.DFTEvaluator(
             params, ckks_eval, encoder,
             c2s_levels=bts_params.c2s_levels,
@@ -279,7 +297,14 @@ class BootstrappingEvaluator:
         lifted = jnp.where(xb > half, neg, pos)
         lifted = p.ring_q.ntt(lifted, L)
         # relabel scale to q0: slot values become m/q0 + I
-        return ct.replace(value=lifted, is_ntt=True, scale=Fraction(q0))
+        out = ct.replace(value=lifted, is_ntt=True, scale=Fraction(q0))
+        # Amplify the payload toward the EvalMod working scale (exact
+        # integer multiply — ref evaluator.go:709; see __init__): must
+        # happen HERE, before the sparse→dense switch in the caller, so
+        # that even that key-switch noise is suppressed by the factor.
+        if self._modup_scalar > 1:
+            out = self.ev.scale_up(out, self._modup_scalar)
+        return out
 
     def slots_to_coeffs(self, ct: Ciphertext,
                         ct_im: Ciphertext | None = None) -> Ciphertext:
@@ -389,10 +414,51 @@ class BootstrappingEvaluator:
         return out
 
     def bootstrap_many(self, cts: list[Ciphertext],
-                       keys: BootstrappingKeys | None = None) -> list[Ciphertext]:
-        """Batch bootstrap — on TPU the batch axis makes this native; a
-        list API is kept for parity (ref BootstrapMany:229)."""
-        return [self.bootstrap(c, keys) for c in cts]
+                       keys: BootstrappingKeys | None = None,
+                       log_slots: int | None = None) -> list[Ciphertext]:
+        """Batch bootstrap (ref BootstrapMany:229).
+
+        Full-slot ciphertexts: on TPU the batch axis makes this native; a
+        list API is kept for parity. SPARSE ciphertexts (``log_slots`` <
+        log_max_slots, slots replicated 2^g times so coefficients sit at
+        stride 2^g, g = log_max_slots − log_slots): groups of up to 2^g
+        are INTERLEAVED into one full ciphertext with the ring-packing
+        tree, bootstrapped once, and unpacked — amortizing one bootstrap
+        over the whole group (ref PackAndSwitchN1ToN2 /
+        UnpackAndSwitchN2ToN1, bootstrapping/evaluator.go:857,891; the
+        pack/unpack galois elements are ``packing_galois_elements``)."""
+        p = self.params
+        if log_slots is None or (1 << log_slots) >= p.max_slots:
+            return [self.bootstrap(c, keys) for c in cts]
+        from lattigo_tpu.rlwe.ring_packing import RingPackingEvaluator
+        rp = RingPackingEvaluator(self.ev)
+        g = p.max_slots.bit_length() - 1 - log_slots
+        out: list[Ciphertext] = []
+        for lo in range(0, len(cts), 1 << g):
+            # pack at the minimum input level so the pack-tree galois keys
+            # can stay level-scoped (packing_galois_elements)
+            grp = [c.at_level(self.minimum_input_level)
+                   if c.level > self.minimum_input_level else c
+                   for c in cts[lo: lo + (1 << g)]]
+            packed = rp.pack(dict(enumerate(grp)), input_log_gap=g)
+            boot = self.bootstrap(packed, keys)
+            out.extend(rp.unpack(boot, g)[: len(grp)])
+        return out
+
+    def packing_galois_elements(self, log_slots: int) -> dict[int, int]:
+        """gal_el → level for the sparse bootstrap_many pack/unpack tree
+        (pack runs at the input level, unpack at the output level)."""
+        from lattigo_tpu.rlwe.ring_packing import RingPackingEvaluator
+        p = self.params
+        rp = RingPackingEvaluator(self.ev)
+        g = p.max_slots.bit_length() - 1 - log_slots
+        logn = p.log_n
+        lvls: dict[int, int] = {}
+        for el in rp.galois_elements_for_pack(log_start=logn - g):
+            lvls[el] = max(lvls.get(el, 0), self.minimum_input_level)
+        for el in rp.galois_elements_for_unpack(g):
+            lvls[el] = max(lvls.get(el, 0), self.output_level)
+        return lvls
 
     def jitted(self, example: Ciphertext,
                keys: BootstrappingKeys | None = None,

@@ -204,6 +204,51 @@ N15QP880_H16384_H32 = (
         evalmod_log_scale=55),
 )
 
+def run_recipe(preset, log_n: int | None = None, seed: int = 0,
+               data_seed: int = 1):
+    """Execute a preset's exact chain/mod1/factorization end-to-end at
+    (optionally reduced) ring degree and return (worst_bits, avg_bits).
+
+    The degree scales only the DFT gain and RLWE noise (~√N), so a recipe
+    that is structurally broken (scale plumbing, matrix quantisation,
+    message-ratio bookkeeping) is loud at logN=9 without a chip compile.
+    Shared by ``validate_presets.py`` and the slow-tier preset tests.
+    """
+    import jax
+    import numpy as np
+    from dataclasses import replace
+    from lattigo_tpu import rlwe
+
+    residual, lit = preset
+    if log_n is not None:
+        residual = replace(residual, log_n=log_n)
+    full, btp = build_bootstrapping_parameters(residual, lit)
+    params = ckks.Parameters(full)
+    kgen = rlwe.KeyGenerator(params)
+    k_sk, k_rlk, k_gk, k_ct = jax.random.split(jax.random.PRNGKey(seed), 4)
+    sk = kgen.gen_secret_key(k_sk)
+    rlk = kgen.gen_relinearization_key(k_rlk, sk)
+    enc = ckks.Encoder(params)
+    b = BootstrappingEvaluator(params, ckks.Evaluator(
+        params, rlwe.EvaluationKeySet(relinearization_key=rlk)), enc, btp)
+    gks = kgen.gen_galois_keys(k_gk, b.galois_elements(), sk,
+                               levels=b.galois_element_levels())
+    b.with_evaluator(ckks.Evaluator(params, rlwe.EvaluationKeySet(
+        relinearization_key=rlk, galois_keys=gks)))
+    keys = b.gen_encapsulation_keys(jax.random.PRNGKey(7), sk)
+    rng = np.random.default_rng(data_seed)
+    v = (rng.uniform(-1, 1, params.max_slots)
+         + 1j * rng.uniform(-1, 1, params.max_slots))
+    ct = rlwe.Encryptor(params, sk).encrypt(
+        k_ct, enc.encode(v)).at_level(b.minimum_input_level)
+    out = b.jitted(ct, keys=keys)(ct)
+    got = enc.decode(rlwe.Decryptor(params, sk).decrypt(out))
+    errs = np.abs(got - v)
+    worst = float(-np.log2(errs.max()))
+    avg = float(np.mean(-np.log2(np.maximum(errs, 2.0 ** -60))))
+    return worst, avg
+
+
 DEFAULT_PARAMETERS_SPARSE = [
     N16QP1546_H192_H32, N16QP1547_H192_H32, N16QP1553_H192_H32,
     N15QP768_H192_H32,

@@ -150,14 +150,15 @@ class DFTEvaluator:
                  level_q_c2s: int | None = None,
                  level_q_s2c: int | None = None,
                  c2s_scaling: float = 0.5):
-        """``c2s_scaling`` is folded into the last C2S matrix's diagonals
-        (free — ref dft.go:758 Scaling / bootstrapping/evaluator.go:190
-        C2SScaling): 0.5 cancels the doubling of the conjugation split so
-        coeffs_to_slots returns exact Re/Im without spending a level; the
-        bootstrapping evaluator additionally folds EvalMod's 1/K interval
-        map here, keeping the working scale pinned to the chain primes
-        (scale uniformity is what preserves the CosDiscrete coefficient
-        quantisation headroom)."""
+        """``c2s_scaling`` is folded into the C2S matrix diagonals — into
+        the FIRST matrix when ≥ 1 and the LAST when < 1 (free — ref
+        dft.go:758 Scaling / bootstrapping/evaluator.go:190 C2SScaling;
+        see the noise-placement comment below): 0.5 cancels the doubling
+        of the conjugation split so coeffs_to_slots returns exact Re/Im
+        without spending a level; the bootstrapping evaluator additionally
+        folds EvalMod's 1/K interval map here, keeping the working scale
+        pinned to the chain primes (scale uniformity is what preserves the
+        CosDiscrete coefficient quantisation headroom)."""
         self.params = params
         self.ev = ckks_eval
         self.encoder = encoder
@@ -250,8 +251,9 @@ class DFTEvaluator:
         for lt in self.c2s_mats:
             out = ev.rescale(self.lt_ev.evaluate(out, lt))
         conj = ev.conjugate(out)
-        # c2s_scaling (default 0.5) is already folded into the last matrix,
-        # so the doubling of the split cancels and no level is spent
+        # c2s_scaling (default 0.5) is already folded into the matrices
+        # (first when ≥ 1, last when < 1 — see __init__), so the doubling
+        # of the split cancels and no level is spent
         # (ref CoeffsToSlots dft.go:250-276: Conjugate/Sub/Mul(-1i)/Add).
         ct_re = ev.add(out, conj)
         ct_im = ev.mul_by_i(ev.sub(conj, out))

@@ -25,6 +25,29 @@ from lattigo_tpu.rlwe.elements import Ciphertext
 from lattigo_tpu.rlwe.keys import SecretKey
 
 
+def get_minimum_level_for_refresh(lambda_: int, scale, n_parties: int,
+                                  moduli) -> tuple[int, int, bool]:
+    """Minimum level (and mask bit-length) for a collective refresh with
+    ≥ ``lambda_`` bits of statistical security (ref mpckks/utils.go:16
+    GetMinimumLevelForRefresh).
+
+    The additive masks must flood the plaintext (≈ scale) by 2^lambda, and
+    the modulus at the refresh level must hold n_parties such masks:
+    returns (min_level, log_bound, ok); ok=False if the chain is too short.
+    """
+    import math
+    log_bound = lambda_ + math.ceil(math.log2(float(scale)))
+    max_bound = math.ceil(log_bound + math.log2(n_parties))
+    min_level, log_q, i = -1, 0.0, 0
+    while log_q < max_bound:
+        if i >= len(moduli):
+            return 0, 0, False
+        log_q += math.log2(moduli[i])
+        min_level += 1
+        i += 1
+    return min_level, log_bound, True
+
+
 def _sample_mask_signed(key, n: int, log_bound: int):
     """Uniform signed mask int64[..., N] in [−2^b, 2^b) (b ≤ 62)."""
     assert log_bound <= 62
@@ -120,45 +143,97 @@ class MaskedTransformProtocol:
     ``transform`` maps centered integer coefficient vectors int64[N] →
     int64[N] on the host (build one from a slot-space function with
     :func:`ckks_coeff_transform`).
+
+    ``params_out`` (or :meth:`with_params`, ref mpckks/transform.go:29
+    WithParams) re-encrypts into a DIFFERENT parameter set: the E2S side
+    stays on the input parameters, the S2E side moves to the output ones,
+    and the value is rescaled by scale_out/scale_in inside the integer
+    mask arithmetic (the reference's prec-bit big-float mask path) so the
+    output reads the same message at the output default scale.
     """
 
-    def __init__(self, params: Parameters, log_bound: int = 40):
+    def __init__(self, params: Parameters, log_bound: int = 40,
+                 params_out: Parameters | None = None, scale_ratio=None):
         self.params = params
+        self.params_out = params if params_out is None else params_out
+        if self.params_out.n != params.n:
+            raise ValueError("masked transform requires matching ring degree")
+        self.log_bound = log_bound
         self.e2s = EncToShareProtocol(params, log_bound)
-        self.s2e = ShareToEncProtocol(params)
+        self.s2e = ShareToEncProtocol(self.params_out)
+        # physical value multiplier folded into the transform; by default
+        # scale_out/scale_in so the output label is the out default scale
+        self.scale_ratio = scale_ratio
+
+    def with_params(self, params_out: Parameters,
+                    scale_ratio=None) -> "MaskedTransformProtocol":
+        """Shallow copy re-encrypting into ``params_out`` (ref
+        mpckks/transform.go:29 WithParams — the expected input parameters
+        are unchanged)."""
+        return MaskedTransformProtocol(self.params, self.log_bound,
+                                       params_out=params_out,
+                                       scale_ratio=scale_ratio)
+
+    def _ratio(self, scale_in):
+        from fractions import Fraction
+        if self.scale_ratio is not None:
+            return Fraction(self.scale_ratio)
+        if self.params_out is self.params:
+            return Fraction(1)
+        return (Fraction(self.params_out.default_scale_fraction)
+                / Fraction(scale_in))
+
+    @staticmethod
+    def _apply(transform, coeffs, ratio):
+        out = transform(coeffs)
+        if ratio == 1:
+            return out
+        num, den = ratio.numerator, ratio.denominator
+        return np.array([(2 * int(x) * num + den) // (2 * den)
+                         for x in out], dtype=object)
 
     def sample_crp(self, seed: bytes, level: int | None = None):
         return self.s2e.sample_crp(seed, level)
 
     def gen_share(self, key, sk: SecretKey, ct: Ciphertext, crp, transform,
-                  level_out: int | None = None):
-        """→ (h_e2s u64[l_in+1, N], h_s2e u64[l_out+1, N])."""
-        p = self.params
-        level_out = p.max_level if level_out is None else level_out
+                  level_out: int | None = None,
+                  sk_out: SecretKey | None = None):
+        """→ (h_e2s u64[l_in+1, N], h_s2e u64[l_out+1, N]).
+
+        ``sk_out``: the party's secret in the OUTPUT parameter set (same
+        underlying coefficients — KeyGenerator.secret_key_from_signed);
+        defaults to ``sk`` for the single-parameter-set protocol."""
+        po = self.params_out
+        level_out = po.max_level if level_out is None else level_out
         k1, k2 = jax.random.split(key)
         mask, h = self.e2s.gen_share(k1, sk, ct)
-        tmask = np.asarray(transform(np.asarray(mask)), dtype=np.int64)
-        h2 = self.s2e.gen_share(k2, sk, tmask, crp, level_out)
+        tmask = self._apply(transform, np.asarray(mask), self._ratio(ct.scale))
+        tmask = np.asarray([int(x) for x in tmask], dtype=np.int64)
+        h2 = self.s2e.gen_share(k2, sk if sk_out is None else sk_out,
+                                tmask, crp, level_out)
         return h, h2
 
     def aggregate_shares(self, s1, s2):
         return (self.params.ring_q.add(s1[0], s2[0], s1[0].shape[-2] - 1),
-                self.params.ring_q.add(s1[1], s2[1], s1[1].shape[-2] - 1))
+                self.params_out.ring_q.add(s1[1], s2[1], s1[1].shape[-2] - 1))
 
     def finalize(self, ct: Ciphertext, agg, crp, transform,
                  level_out: int | None = None) -> Ciphertext:
         """Aggregator: transform the public masked plaintext, lift, add."""
-        p = self.params
+        p, po = self.params, self.params_out
         level_in = ct.level
-        level_out = p.max_level if level_out is None else level_out
+        level_out = po.max_level if level_out is None else level_out
+        ratio = self._ratio(ct.scale)
         pub = self.e2s.finalize_public(ct, agg[0])          # NTT, level_in
         coeffs = p.ring_q.to_int_coeffs(
             np.asarray(p.ring_q.intt(pub, level_in)), level_in, centered=True)
-        tpub = transform(np.array(coeffs, dtype=object))
-        lifted = p.ring_q.ntt(
-            p.ring_q.from_int_coeffs(list(tpub), level_out), level_out)
+        tpub = self._apply(transform, np.array(coeffs, dtype=object), ratio)
+        lifted = po.ring_q.ntt(
+            po.ring_q.from_int_coeffs(list(tpub), level_out), level_out)
+        from fractions import Fraction
         return self.s2e.finalize(agg[1], crp, extra_c0=lifted,
-                                 scale=ct.scale, level=level_out)
+                                 scale=Fraction(ct.scale) * ratio,
+                                 level=level_out)
 
 
 def ckks_coeff_transform(encoder, fn):

@@ -38,36 +38,38 @@ def _mform_int(a: int, q: int) -> int:
     return (a << 64) % q
 
 
-def _extend_weight8(w: np.ndarray, q: int, contract_first: bool) -> np.ndarray:
-    """[rows, cols] u64 weight matrix -> [8*rows', 8*cols'] int8 of balanced
-    digits of (2^{8i} * w) mod q (same layout contract as ntt_mxu, 8 digits).
-    """
+def _extend_weight8(w: np.ndarray, q: int, contract_first: bool,
+                    nd_in: int = 8, nd_out: int = 8) -> np.ndarray:
+    """[rows, cols] u64 weight matrix -> [nd_out*r, nd_in*c] int8 of
+    balanced digits of (2^{8i} * w) mod q (same layout contract as
+    ntt_mxu). ``nd_in`` plane count matches the operand digitization;
+    ``nd_out`` covers the reduced weights (< q)."""
     r, c = w.shape
-    ext = np.empty((8, r, c), dtype=object)
+    ext = np.empty((nd_in, r, c), dtype=object)
     wobj = w.astype(object)
-    for i in range(8):
+    for i in range(nd_in):
         ext[i] = (wobj * ((1 << (8 * i)) % q)) % q
     # balanced signed base-256 digits (object ints -> int8)
-    out = np.empty((8, 8, r, c), dtype=np.int8)  # [s, i, r, c]
+    out = np.empty((nd_out, nd_in, r, c), dtype=np.int8)  # [s, i, r, c]
     v = ext
-    for s in range(8):
+    for s in range(nd_out):
         d = v & 255
         carry = d >> 7
         out[s] = (d - (carry << 8)).astype(np.int64).astype(np.int8)
         v = (v >> 8) + carry
-    assert np.all(v == 0)
+    assert np.all(v == 0), "nd_out too small for modulus width"
     if contract_first:
         # rows (s, out), cols (i, in) with w = [out, in]
-        return out.transpose(0, 2, 1, 3).reshape(8 * r, 8 * c)
+        return out.transpose(0, 2, 1, 3).reshape(nd_out * r, nd_in * c)
     # rows (i, in), cols (s, out) with w = [in, out]
-    return out.transpose(1, 2, 0, 3).reshape(8 * r, 8 * c)
+    return out.transpose(1, 2, 0, 3).reshape(nd_in * r, nd_out * c)
 
 
-def _digits8(x, axis: int):
-    """u64 (< 2^62) -> 8 balanced int8 digit planes concatenated on `axis`."""
+def _digits8(x, axis: int, nd: int = 8):
+    """u64 (< 2^{8·nd−2}) -> nd balanced int8 digit planes on `axis`."""
     planes = []
     v = x
-    for _ in range(8):
+    for _ in range(nd):
         d = v & jnp.uint64(255)
         c = d >> jnp.uint64(7)
         v = (v >> jnp.uint64(8)) + c
@@ -77,12 +79,20 @@ def _digits8(x, axis: int):
     return jnp.concatenate(planes, axis=axis)
 
 
-def _recombine8(p, axis: int, block: int, q, qinv, m32, c1, bhi, lazy: bool):
-    """Σ_s P_s·2^{8s} mod q from 8 int32 digit planes stacked on `axis`
+def _recombine8(p, axis: int, block: int, q, qinv, m32, c1, bhi, lazy: bool,
+                nd: int = 8):
+    """Σ_s P_s·2^{8s} mod q from nd int32 digit planes stacked on `axis`
     in blocks of `block`; output [0, q) ([0, 2q) if lazy)."""
     sl = [slice(None)] * p.ndim
+    zero = None
 
     def plane(s):
+        nonlocal zero
+        if s >= nd:
+            if zero is None:
+                sl[axis] = slice(0, block)
+                zero = jnp.zeros_like(p[tuple(sl)].astype(jnp.int64))
+            return zero
         sl[axis] = slice(s * block, (s + 1) * block)
         return p[tuple(sl)].astype(jnp.int64)
 
@@ -113,14 +123,23 @@ class NTTMxu64:
         self.rr = n // self.cc
         rr, cc = self.rr, self.cc
 
+        # Per-ring digit-plane counts: the MXU work is nd_in·nd_out planes
+        # per butterfly matrix, so chains whose widest prime is below 61
+        # bits contract fewer planes (e.g. 7×7 at ≤53-bit, 6×6 at ≤45-bit
+        # — a 1.3–1.8× matmul-FLOP cut on production bootstrap chains).
+        qbits = max(int(q).bit_length() for q in moduli)
+        self.nd_in = min(8, (qbits + 3 + 7) // 8)    # operands < 4q (lazy)
+        self.nd_out = min(8, (qbits + 2 + 7) // 8)   # weights reduced < q
+
         w1f, w2f, w1i, w2i, tf, ti = [], [], [], [], [], []
         consts = np.zeros((len(moduli), 6), dtype=_U64)
         for i, (psi, q) in enumerate(zip(psis, moduli)):
             raw = gen_four_step_weights(n, rr, cc, psi, q)
-            w1f.append(_extend_weight8(raw["wa"], q, contract_first=True))
-            w2f.append(_extend_weight8(raw["wb"], q, contract_first=False))
-            w1i.append(_extend_weight8(raw["wbi"], q, contract_first=False))
-            w2i.append(_extend_weight8(raw["wai"], q, contract_first=True))
+            nd = dict(nd_in=self.nd_in, nd_out=self.nd_out)
+            w1f.append(_extend_weight8(raw["wa"], q, contract_first=True, **nd))
+            w2f.append(_extend_weight8(raw["wb"], q, contract_first=False, **nd))
+            w1i.append(_extend_weight8(raw["wbi"], q, contract_first=False, **nd))
+            w2i.append(_extend_weight8(raw["wai"], q, contract_first=True, **nd))
             mf = np.vectorize(lambda x, qq=q: _mform_int(int(x), qq),
                               otypes=[_U64])
             tf.append(mf(raw["tf"]))
@@ -169,26 +188,29 @@ class NTTMxu64:
         rr, cc = self.rr, self.cc
         x4 = x.reshape(shape[:-1] + (rr, cc))    # [..., l, R, C]
         q, qinv, m32, c1, bhi = self._consts(s)
+        ni, no = self.nd_in, self.nd_out
         if inverse:
-            d = _digits8(x4, axis=-1)            # [..., l, R, 8C]
+            d = _digits8(x4, axis=-1, nd=ni)     # [..., l, R, ni·C]
             p = jnp.einsum("...lrc,lcs->...lrs", d, self.w1i[s],
                            preferred_element_type=jnp.int32)
-            g = _recombine8(p, -1, cc, q, qinv, m32, c1, bhi, lazy=False)
+            g = _recombine8(p, -1, cc, q, qinv, m32, c1, bhi, lazy=False,
+                            nd=no)
             h = modops.mred(g, self.ti[s], q, qinv)
-            d2 = _digits8(h, axis=-2)            # [..., l, 8R, C]
+            d2 = _digits8(h, axis=-2, nd=ni)     # [..., l, ni·R, C]
             p2 = jnp.einsum("lsr,...lrc->...lsc", self.w2i[s], d2,
                             preferred_element_type=jnp.int32)
-            v = _recombine8(p2, -2, rr, q, qinv, m32, c1, bhi, lazy)
+            v = _recombine8(p2, -2, rr, q, qinv, m32, c1, bhi, lazy, nd=no)
         else:
-            d = _digits8(x4, axis=-2)            # [..., l, 8R, C]
+            d = _digits8(x4, axis=-2, nd=ni)     # [..., l, ni·R, C]
             p = jnp.einsum("lsr,...lrc->...lsc", self.w1f[s], d,
                            preferred_element_type=jnp.int32)
-            b = _recombine8(p, -2, rr, q, qinv, m32, c1, bhi, lazy=False)
+            b = _recombine8(p, -2, rr, q, qinv, m32, c1, bhi, lazy=False,
+                            nd=no)
             b = modops.mred(b, self.tf[s], q, qinv)
-            d2 = _digits8(b, axis=-1)            # [..., l, R, 8C]
+            d2 = _digits8(b, axis=-1, nd=ni)     # [..., l, R, ni·C]
             p2 = jnp.einsum("...lrc,lcs->...lrs", d2, self.w2f[s],
                             preferred_element_type=jnp.int32)
-            v = _recombine8(p2, -1, cc, q, qinv, m32, c1, bhi, lazy)
+            v = _recombine8(p2, -1, cc, q, qinv, m32, c1, bhi, lazy, nd=no)
         return v.reshape(shape)
 
     def ntt(self, x, level: int, lazy: bool = False):

@@ -148,6 +148,13 @@ class KeyGenerator:
         sparse Ternary for bootstrapping encapsulation keys)."""
         p = self.params
         x = sampling.signed(key, p.n, p.xs if dist is None else dist)
+        return self.secret_key_from_signed(x)
+
+    def secret_key_from_signed(self, x) -> SecretKey:
+        """Encode explicit signed coefficients as a SecretKey — carries one
+        party secret across parameter sets (ref mpckks/transform.go:29
+        WithParams, where skOut is the same secret in the output ring)."""
+        p = self.params
         qp = p.ring_qp.lift_signed(x)
         qp = p.ring_qp.ntt(qp)
         return SecretKey(p.ring_qp.mform(qp))

@@ -103,3 +103,63 @@ def test_masked_transform_refresh():
 
     got = enc.decode(rlwe.Decryptor(params, ideal).decrypt(out))
     ckks.verify_test_vectors(d * v, got, min_precision=12.0)
+
+
+def test_masked_transform_with_params():
+    """Parameter-switching refresh (ref mpckks/transform.go:29 WithParams):
+    E2S on the input set, S2E into a different chain + default scale."""
+    p_in = ckks.Parameters(ckks.ParametersLiteral(
+        log_n=9, log_q=(55, 45, 45), log_p=(60,), log_default_scale=45))
+    p_out = ckks.Parameters(ckks.ParametersLiteral(
+        log_n=9, log_q=(50, 40, 40, 40), log_p=(55,), log_default_scale=40))
+    n_parties = 3
+    rng = np.random.default_rng(7)
+    kg_in, kg_out = rlwe.KeyGenerator(p_in), rlwe.KeyGenerator(p_out)
+    # same underlying ternary secrets encoded in both rings
+    coeffs = [rng.integers(-1, 2, p_in.n).astype(np.int64)
+              for _ in range(n_parties)]
+    sks_in = [kg_in.secret_key_from_signed(c) for c in coeffs]
+    sks_out = [kg_out.secret_key_from_signed(c) for c in coeffs]
+    ideal_in, ideal_out = _ideal_key(p_in, sks_in), _ideal_key(p_out, sks_out)
+
+    enc_in, enc_out = ckks.Encoder(p_in), ckks.Encoder(p_out)
+    v = rng.uniform(-1, 1, p_in.max_slots) + 1j * rng.uniform(-1, 1, p_in.max_slots)
+    ct = rlwe.Encryptor(p_in, ideal_in).encrypt(
+        jax.random.PRNGKey(5), enc_in.encode(v)).at_level(0)
+
+    d = rng.uniform(-1, 1, p_in.max_slots)
+    transform = ckks_coeff_transform(enc_in, lambda s: d * s)
+
+    proto = MaskedTransformProtocol(p_in, log_bound=40).with_params(p_out)
+    crp = proto.sample_crp(b"with-params-crs")
+    shares = [proto.gen_share(jax.random.PRNGKey(300 + i), sks_in[i], ct,
+                              crp, transform, sk_out=sks_out[i])
+              for i in range(n_parties)]
+    agg = shares[0]
+    for s in shares[1:]:
+        agg = proto.aggregate_shares(agg, s)
+    out = proto.finalize(ct, agg, crp, transform)
+    assert out.level == p_out.max_level
+    assert float(out.scale) == float(p_out.default_scale_fraction)
+
+    got = enc_out.decode(rlwe.Decryptor(p_out, ideal_out).decrypt(out))
+    ckks.verify_test_vectors(d * v, got, min_precision=12.0)
+
+
+def test_get_minimum_level_for_refresh():
+    """ref mpckks/utils.go:9-16 — λ-budget helper."""
+    from lattigo_tpu.multiparty.sharing import get_minimum_level_for_refresh
+    params = ckks.Parameters(ckks.ParametersLiteral(
+        log_n=9, log_q=(55, 45, 45, 45), log_p=(60,), log_default_scale=45))
+    lvl, bound, ok = get_minimum_level_for_refresh(
+        128, 2.0 ** 45, 3, params.q_moduli)
+    assert ok and bound == 128 + 45
+    # logQ(0..lvl) must cover bound + log2(parties)
+    import math
+    logq = sum(math.log2(q) for q in params.q_moduli[: lvl + 1])
+    assert logq >= bound + math.log2(3)
+    assert sum(math.log2(q) for q in params.q_moduli[: lvl]) < bound + math.log2(3) + 1
+    # chain too short -> not ok
+    _, _, ok2 = get_minimum_level_for_refresh(128, 2.0 ** 45, 3,
+                                              params.q_moduli[:2])
+    assert not ok2

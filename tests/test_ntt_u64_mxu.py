@@ -66,3 +66,31 @@ def test_u64_mxu_small_and_mixed_primes():
     np.testing.assert_array_equal(got, want)
     back = np.asarray(mxu.intt(jnp.asarray(got), len(moduli) - 1))
     np.testing.assert_array_equal(back, np.asarray(x))
+
+
+def test_u64_mxu_reduced_digit_planes():
+    """Chains whose widest prime is < 53/45 bits contract 7x7 / 6x6 digit
+    planes instead of 8x8 (a 1.3-1.8x MXU-FLOP cut); bit-exactness must
+    hold including for LAZY (< 2q) inputs, which the operand plane count
+    budgets 4q of headroom for."""
+    n = 1 << 12
+    for bits, nd in ((44, 6), (51, 7)):
+        gen = NTTFriendlyPrimesGenerator(bits, 2 * n)
+        moduli = [gen.next_alternating_prime() for _ in range(2)]
+        ring = Ring(n, moduli)
+        mxu = NTTMxu64(n, moduli, [s.psi for s in ring.subrings])
+        assert mxu.nd_in == nd and mxu.nd_out == nd, (
+            f"{bits}b: planes {mxu.nd_in}x{mxu.nd_out}, want {nd}x{nd}")
+        rng = np.random.default_rng(bits)
+        x = jnp.asarray(np.stack(
+            [rng.integers(0, q, (2, n), dtype=np.uint64) for q in moduli],
+            axis=-2))
+        want = np.asarray(ring.ntt(x))
+        got = np.asarray(mxu.ntt(x, 1))
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(np.asarray(mxu.intt(jnp.asarray(got), 1)),
+                                      np.asarray(x))
+        # lazy-range input: x + q stays congruent and must transform exactly
+        xl = jnp.asarray(np.asarray(x) + np.array(moduli, np.uint64)[:, None])
+        got_l = np.asarray(mxu.ntt(xl, 1))
+        np.testing.assert_array_equal(got_l, want)
