@@ -100,7 +100,11 @@ def main(log_n: int = 13, batch: int = 1, preset: str | None = None,
     ct = ct.at_level(b.minimum_input_level)
 
     t0 = time.time()
-    fn = b.jitted(ct, keys=keys)
+    # logN=16 chains: the encoded DFT matrices (~2.8 GB) + their
+    # stage-exclusive Galois keys stream from host per stage so the
+    # 25-limb working set fits one chip's HBM (jitted(stream=...))
+    stream = ("c2s", "s2c") if log_n >= 16 else ()
+    fn = b.jitted(ct, keys=keys, stream=stream)
     out = fn(ct)
     jax.block_until_ready(out.value)
     compile_s = time.time() - t0

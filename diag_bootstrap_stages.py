@@ -159,11 +159,15 @@ _model = _math_mod1(np.stack([c2s_re, c2s_im]))
 _gotm = np.stack([got_re, got_im])
 _expm = np.stack([exp_re[perm], exp_im[perm]])
 for _name, _d in (("ladder RLWE (got-model)", _gotm - _model),
-                  ("approx (model-exp)", _model - _expm)):
+                  ("approx (model-exp)", _model - _expm),
+                  ("total (got-exp)", _gotm - _expm)):
     _a = np.abs(_d)
+    # a |mean| >> rms/sqrt(#slots) is a DC bias: it lands on the slots
+    # whose embedding root is closest to 1 (slot 0, exponent 5^0 = 1)
+    # with gain ~1.27n after SlotsToCoeffs + decode — the worst-slot tail
     print(f"logN={log_n} {PRESET}: EvalMod split {_name}: rms 2^"
           f"{np.log2(np.sqrt((_a**2).mean())):.1f} max 2^{np.log2(_a.max()):.1f}"
-          f" (m/q0 units)")
+          f" mean 2^{np.log2(abs(_d.mean()) + 1e-300):.1f} (m/q0 units)")
 best = None
 for tag, pr in (("bitrev", perm), ("identity", np.arange(n))):
     e = max(np.abs(got_re - exp_re[pr]).max(),
@@ -221,6 +225,26 @@ for tag, e in (("err_in (input ct noise)", err_in),
     m_ = np.abs(e)
     print(f"logN={log_n} {PRESET}: {tag}: rms 2^"
           f"{np.log2(np.sqrt((m_**2).mean())):.1f} max 2^{np.log2(m_.max()):.1f}")
+
+# Worst-slot structure probe: the e2e max sits several bits above the
+# Gaussian max/rms bound — fit the error against data-dependent
+# intermodulation terms (the EvalMod error is a deterministic function of
+# the coefficients, so its decode is correlated with powers of v). A big
+# R² on a term means the tail is that deterministic product, not noise.
+_topp = np.argsort(np.abs(err_pre))[::-1][:6]
+print(f"logN={log_n} {PRESET}: err_pre top slots {_topp.tolist()} "
+      f"(mags {[float(f'{abs(err_pre[t]):.3g}') for t in _topp]})")
+_basis = {"v2": v * v, "cv2": np.conj(v) ** 2, "av2v": np.abs(v) ** 2 * v,
+          "v3": v ** 3, "one": np.ones_like(v)}
+for _nm, _bv in _basis.items():
+    _c = np.vdot(_bv, err_pre) / np.vdot(_bv, _bv)
+    _res = err_pre - _c * _bv
+    _drop = np.sqrt((np.abs(err_pre) ** 2).mean()
+                    / max((np.abs(_res) ** 2).mean(), 1e-300))
+    if _drop > 1.05:
+        print(f"logN={log_n} {PRESET}: err_pre ~ {_nm}: |c|=2^"
+              f"{np.log2(abs(_c) + 1e-300):.1f} rms drop x{_drop:.2f} "
+              f"max-after 2^{np.log2(np.abs(_res).max()):.1f}")
 
 out = out.replace(scale=Fraction(out.scale) * delta0 / Fraction(q0))
 got = enc.decode(dec.decrypt(out))

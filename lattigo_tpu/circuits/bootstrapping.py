@@ -415,7 +415,8 @@ class BootstrappingEvaluator:
 
     def bootstrap_many(self, cts: list[Ciphertext],
                        keys: BootstrappingKeys | None = None,
-                       log_slots: int | None = None) -> list[Ciphertext]:
+                       log_slots: int | None = None,
+                       bootstrap_fn=None) -> list[Ciphertext]:
         """Batch bootstrap (ref BootstrapMany:229).
 
         Full-slot ciphertexts: on TPU the batch axis makes this native; a
@@ -426,10 +427,13 @@ class BootstrappingEvaluator:
         tree, bootstrapped once, and unpacked — amortizing one bootstrap
         over the whole group (ref PackAndSwitchN1ToN2 /
         UnpackAndSwitchN2ToN1, bootstrapping/evaluator.go:857,891; the
-        pack/unpack galois elements are ``packing_galois_elements``)."""
+        pack/unpack galois elements are ``packing_galois_elements``).
+        ``bootstrap_fn`` substitutes a compiled pipeline (e.g.
+        :meth:`jitted`) for the per-(packed-)ciphertext refresh."""
         p = self.params
+        fn = bootstrap_fn or (lambda c: self.bootstrap(c, keys))
         if log_slots is None or (1 << log_slots) >= p.max_slots:
-            return [self.bootstrap(c, keys) for c in cts]
+            return [fn(c) for c in cts]
         from lattigo_tpu.rlwe.ring_packing import RingPackingEvaluator
         rp = RingPackingEvaluator(self.ev)
         g = p.max_slots.bit_length() - 1 - log_slots
@@ -441,9 +445,37 @@ class BootstrappingEvaluator:
                    if c.level > self.minimum_input_level else c
                    for c in cts[lo: lo + (1 << g)]]
             packed = rp.pack(dict(enumerate(grp)), input_log_gap=g)
-            boot = self.bootstrap(packed, keys)
+            boot = fn(packed)
             out.extend(rp.unpack(boot, g)[: len(grp)])
         return out
+
+    def evaluate_conjugate_invariant(
+            self, ct_left: Ciphertext, ct_right: Ciphertext | None = None,
+            switcher=None, keys: BootstrappingKeys | None = None):
+        """Bootstrap one or two CONJUGATE-INVARIANT-ring ciphertexts with a
+        single standard-ring bootstrap (ref EvaluateConjugateInvariant,
+        bootstrapping/evaluator.go:460): the real-slot cts are bridged to
+        the standard 2N ring, packed as the real and imaginary halves of
+        one complex ciphertext, bootstrapped once, then split back.
+
+        ``switcher`` is a :class:`~lattigo_tpu.schemes.ckks.bridge
+        .DomainSwitcher` whose standard side is this evaluator's
+        parameters. Returns (ct_left', ct_right' | None) in the CI ring at
+        the bootstrap output level; exact-Fraction scale labels absorb the
+        conjugation fold's ×2 (the reference compensates with an explicit
+        0.5 relabel, evaluator.go:498)."""
+        assert switcher is not None, "evaluate_conjugate_invariant needs a DomainSwitcher"
+        ev = self.ev
+        up = switcher.real_to_complex(ct_left)
+        if ct_right is not None:
+            up = ev.add(up, ev.mul_by_i(switcher.real_to_complex(ct_right)))
+        out = self.bootstrap(up, keys)
+        left = switcher.complex_to_real(out)
+        right = None
+        if ct_right is not None:
+            # Re(−i·m) = Im(m): extract the imaginary half
+            right = switcher.complex_to_real(ev.mul_by_minus_i(out))
+        return left, right
 
     def packing_galois_elements(self, log_slots: int) -> dict[int, int]:
         """gal_el → level for the sparse bootstrap_many pack/unpack tree
@@ -462,7 +494,8 @@ class BootstrappingEvaluator:
 
     def jitted(self, example: Ciphertext,
                keys: BootstrappingKeys | None = None,
-               split: bool = True):
+               split: bool = True,
+               stream: tuple = ()):
         """Compiled pipeline: returns f(ct) → ct (metadata — scales,
         levels — is static, captured from ``example``). Batch axes on
         ``example`` carry through, making ``BootstrapMany`` a leading
@@ -476,6 +509,16 @@ class BootstrappingEvaluator:
         stage programs stay small and the four dispatches are negligible
         against seconds of compute. ``split=False`` keeps the single
         fused program.
+
+        ``stream``: subset of {"c2s", "s2c"} naming DFT-matrix groups
+        (plus the Galois keys used ONLY by that group) to keep
+        HOST-resident between uses: each group is device_put right before
+        its stage dispatch and released after, trading ~size/BW of
+        host→device transfer per bootstrap for HBM headroom. The logN=16
+        presets' encoded DFT matrices are ~2.8 GB and their C2S Galois
+        keys ~.15 GB each — streaming is what lets a 25-limb chain fit a
+        16 GB chip (round-4 plan: "streamed/host-resident key upload").
+        Requires ``split``.
         """
         import jax
 
@@ -518,25 +561,83 @@ class BootstrappingEvaluator:
         from lattigo_tpu.ring.tables import TableThreader
         threader = TableThreader(p.ring_q, p.ring_p)
 
-        def big_state():
-            st = dict(evk=self.ev.evk, c2s=self.dft.c2s_mats,
-                      s2c=self.dft.s2c_mats, ntt=threader.state())
-            if has_keys:
+        stream = tuple(stream)
+        host_groups: dict = {}
+        resident_evk = self.ev.evk
+        if stream:
+            assert set(stream) <= {"c2s", "s2c"}, f"bad stream groups {stream}"
+            # Galois elements used by exactly one matrix group stream with
+            # it; shared ones (and the relin key) stay device-resident.
+            used = {"c2s": set(), "s2c": set()}
+            for lt in self.dft.c2s_mats:
+                used["c2s"].update(lt.galois_elements(p))
+            used["c2s"].add(p.galois_element_order_two)
+            for lt in self.dft.s2c_mats:
+                used["s2c"].update(lt.galois_elements(p))
+            from lattigo_tpu.rlwe.keys import EvaluationKeySet
+            gks = dict(resident_evk.galois_keys)
+            for g in stream:
+                other = used["s2c" if g == "c2s" else "c2s"]
+                mats = self.dft.c2s_mats if g == "c2s" else self.dft.s2c_mats
+                own = {el: gks.pop(el) for el in sorted(used[g] - other)
+                       if el in gks}
+                host_groups[g] = jax.device_get((mats, own))
+            resident_evk = EvaluationKeySet(
+                relinearization_key=resident_evk.relinearization_key,
+                galois_keys=gks)
+            self.ev.evk = resident_evk
+            # drop the device copies: the host versions are authoritative
+            if "c2s" in host_groups:
+                self.dft.c2s_mats = host_groups["c2s"][0]
+            if "s2c" in host_groups:
+                self.dft.s2c_mats = host_groups["s2c"][0]
+
+        def group_state(g):
+            """(mats, evk) for a DFT-matrix stage — device-put fresh per
+            call when the group is streamed (freed when the call's state
+            goes out of scope)."""
+            if g in host_groups:
+                mats, own = jax.device_put(host_groups[g])
+                merged = type(resident_evk)(
+                    relinearization_key=resident_evk.relinearization_key,
+                    galois_keys={**resident_evk.galois_keys, **own})
+                return mats, merged
+            mats = self.dft.c2s_mats if g == "c2s" else self.dft.s2c_mats
+            return mats, resident_evk
+
+        def big_state(stage):
+            """Exactly the device state the stage's program consumes."""
+            st = dict(evk=resident_evk, ntt=threader.state())
+            if stage == "pre" and has_keys:
                 st["keys"] = keys
+            if stage in ("c2s", "s2c"):
+                st[stage], st["evk"] = group_state(stage)
             return st
 
         def install(st):
             nonlocal keys
-            old = big_state()
+            old = dict(evk=self.ev.evk, c2s=self.dft.c2s_mats,
+                       s2c=self.dft.s2c_mats, ntt=threader.state(),
+                       keys=keys)
             self.ev.evk = st["evk"]
-            self.dft.c2s_mats = st["c2s"]
-            self.dft.s2c_mats = st["s2c"]
+            if "c2s" in st:
+                self.dft.c2s_mats = st["c2s"]
+            if "s2c" in st:
+                self.dft.s2c_mats = st["s2c"]
             threader.install(st["ntt"])
-            if has_keys:
+            if "keys" in st:
                 keys = st["keys"]
             return old
 
-        def jit_stage(fn, examples):
+        def uninstall(old):
+            nonlocal keys
+            self.ev.evk = old["evk"]
+            self.dft.c2s_mats = old["c2s"]
+            self.dft.s2c_mats = old["s2c"]
+            threader.install(old["ntt"])
+            keys = old["keys"]
+
+        def jit_stage(fn, examples, stage):
             """jit a (ct, ...) → ct | (ct, ct) stage with static metadata
             threading; returns (wrapped, example_outputs)."""
             metas = [dict(is_ntt=e.is_ntt, scale=e.scale) for e in examples]
@@ -549,22 +650,23 @@ class BootstrappingEvaluator:
                            for v, m in zip(vals, metas)]
                     out = fn(*cts)
                 finally:
-                    install(old)
+                    uninstall(old)
                 outs = out if isinstance(out, tuple) else (out,)
                 info["meta"] = [dict(is_ntt=o.is_ntt, scale=o.scale)
                                 for o in outs]
                 info["tuple"] = isinstance(out, tuple)
                 return tuple(o.value for o in outs)
 
-            state = big_state()
+            state = big_state(stage)
             shapes = jax.eval_shape(
                 raw, jax.eval_shape(lambda s: s, state),
                 *[jax.ShapeDtypeStruct(e.value.shape, e.value.dtype)
                   for e in examples])
+            del state
             jfn = jax.jit(raw)
 
             def wrapped(*cts):
-                vals = jfn(big_state(), *[c.value for c in cts])
+                vals = jfn(big_state(stage), *[c.value for c in cts])
                 outs = tuple(Ciphertext(value=v, **m)
                              for v, m in zip(vals, info["meta"]))
                 return outs if info["tuple"] else outs[0]
@@ -582,12 +684,12 @@ class BootstrappingEvaluator:
                 up = self.ev.apply_evaluation_key(up, keys.evk_sparse_to_dense)
             return up
 
-        f_pre, (ex_up,) = jit_stage(pre, [example])
-        f_c2s, (ex_re, ex_im) = jit_stage(self.coeffs_to_slots, [ex_up])
+        f_pre, (ex_up,) = jit_stage(pre, [example], "pre")
+        f_c2s, (ex_re, ex_im) = jit_stage(self.coeffs_to_slots, [ex_up], "c2s")
         f_mod1, (ex_m,) = jit_stage(
-            lambda ct: self.mod1.evaluate(ct, pre_mapped=True), [ex_re])
+            lambda ct: self.mod1.evaluate(ct, pre_mapped=True), [ex_re], "mod1")
         f_s2c, (ex_out,) = jit_stage(
-            lambda a, b: self.dft.slots_to_coeffs(a, b), [ex_m, ex_m])
+            lambda a, b: self.dft.slots_to_coeffs(a, b), [ex_m, ex_m], "s2c")
 
         # Δ₀ after ScaleDown (pure metadata) for the final q0 relabel
         delta0 = self.scale_down_label(example.level, example.scale)

@@ -99,13 +99,18 @@ def build_bootstrapping_parameters(
     # message-sized (see mod1.Mod1Evaluator.evaluate). Exact-Fraction
     # labels make the pin itself free (one metadata relabel after C2S plus
     # the anticipation factor folded into the C2S constants).
+    # the secret live during ModUp sets the lift-integer distribution the
+    # DC-debias averages over (see Mod1Parameters.debias_weight)
+    live_h = (lit.ephemeral_secret_weight
+              or getattr(residual.xs, "hamming_weight", None))
     mod1 = Mod1Parameters(
         k=lit.mod1_k, degree=lit.mod1_degree,
         double_angle=lit.mod1_double_angle,
         log_message_ratio=lit.log_message_ratio,
         arcsine_degree=lit.mod1_inv_degree,
         mod1_type=lit.mod1_type,
-        log_scale=lit.evalmod_log_scale)
+        log_scale=lit.evalmod_log_scale,
+        debias_weight=live_h)
     n_evalmod = BootstrappingEvaluator._mod1_depth(mod1)
     s2c = [sum(level) for level in lit.s2c_log_scales]
     c2s = [sum(level) for level in lit.c2s_log_scales]
@@ -222,6 +227,12 @@ def run_recipe(preset, log_n: int | None = None, seed: int = 0,
     residual, lit = preset
     if log_n is not None:
         residual = replace(residual, log_n=log_n)
+        # dense-secret sets (H = N/2 at full degree) must shrink with the
+        # ring: cap the Hamming weight at N/2 of the reduced degree
+        hw = getattr(residual.xs, "hamming_weight", None)
+        if hw is not None and hw > (1 << log_n) // 2:
+            residual = replace(
+                residual, xs=type(residual.xs)(hamming_weight=(1 << log_n) // 2))
     full, btp = build_bootstrapping_parameters(residual, lit)
     params = ckks.Parameters(full)
     kgen = rlwe.KeyGenerator(params)

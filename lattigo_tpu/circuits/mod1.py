@@ -92,6 +92,18 @@ class Mod1Parameters:
     # drifts by (Δ_in/q_em) per doubling and the shrinking scales turn
     # RLWE noise into message-level error. None keeps the input scale.
     log_scale: int | None = None
+    # Hamming weight of the secret live during ModUp (the ephemeral
+    # weight under sparse-secret encapsulation). When set, the evaluator
+    # subtracts the approximation's EXPECTED value over the lift-integer
+    # distribution I ~ round(Σ_h U(−½,½)): the Chebyshev/Han–Ki error
+    # f(y) has E[f(I)] ≠ 0, and that DC bias — harmless per slot — lands
+    # almost entirely on the slots whose embedding root ζ^{5^j} is
+    # closest to 1 after SlotsToCoeffs (gain ≈ 1.27·n at slot 0),
+    # producing a worst-slot error many bits above the mean (measured:
+    # 7.4 worst vs 14.8 mean bits at N15QP768 on chip). No reference
+    # analog — the reference reports only mean/L2 precision and carries
+    # the same tail silently.
+    debias_weight: int | None = None
 
     @property
     def sc_fac(self) -> int:
@@ -107,6 +119,74 @@ class Mod1Evaluator:
         self.p1 = mod1_params
         self.poly_eval = PolynomialEvaluator(ckks_eval)
         self._poly = self._gen_poly()
+        self._dc_bias = (self._expected_bias()
+                         if mod1_params.debias_weight else 0.0)
+
+    def _model_out(self, y) -> float:
+        """Exact (mpmath) value of the full composite — Chebyshev ladder,
+        double-angle, optional arcsine — at the point y; ≈ y mod 1."""
+        from mpmath import mp, mpf
+        with mp.workprec(160):
+            u = mpf(y) / self.p1.k
+            cs = [_mpf_to_fraction(c) if hasattr(c, "_mpf_") else Fraction(c)
+                  for c in self._poly.coeffs]
+            cs = [mpf(c.numerator) / c.denominator for c in cs]
+            bk1 = bk2 = mpf(0)
+            for c in cs[:0:-1]:
+                bk1, bk2 = c + 2 * u * bk1 - bk2, bk1
+            c0 = cs[0] + u * bk1 - bk2
+            si = mpf(self._sqrt2pi)
+            for _ in range(self._r):
+                c0 = 2 * c0 * c0 - si * si
+                si = si * si
+            if self.p1.arcsine_degree > 0:
+                a = 1 / (2 * mp.pi)
+                out = a * c0
+                pw = c0
+                for d in range(3, self.p1.arcsine_degree + 1, 2):
+                    a = a * (d * d - 4 * d + 4) / (d * d - d)
+                    pw = pw * c0 * c0
+                    out += a * pw
+                c0 = out
+            return float(c0)
+
+    def _i_weights(self) -> dict[int, float]:
+        """P(I = i) for the lift integer I ≈ round(Σ_h U(−½,½)) — exact
+        Irwin–Hall CDF differences for small h, Gaussian beyond."""
+        import math as _m
+        h = self.p1.debias_weight
+        k = self.p1.k
+        if h <= 64:
+            fact = _m.factorial(h)
+
+            def cdf(x: Fraction) -> Fraction:   # X = Σ_h U(0,1) ≤ x
+                if x <= 0:
+                    return Fraction(0)
+                if x >= h:
+                    return Fraction(1)
+                s = Fraction(0)
+                for j in range(int(x) + 1):
+                    s += (-1) ** j * _m.comb(h, j) * (x - j) ** h
+                return s / fact
+
+            w = {}
+            for i in range(-k + 1, k):
+                lo = Fraction(2 * i - 1, 2) + Fraction(h, 2)
+                hi = Fraction(2 * i + 1, 2) + Fraction(h, 2)
+                p = cdf(hi) - cdf(lo)
+                if p > 0:
+                    w[i] = float(p)
+            return w
+        sig = _m.sqrt(h / 12.0)
+        w = {i: _m.exp(-0.5 * (i / sig) ** 2) for i in range(-k + 1, k)}
+        tot = sum(w.values())
+        return {i: v / tot for i, v in w.items()}
+
+    def _expected_bias(self) -> float:
+        """E[f(I)] — the approximation error's DC component (see
+        Mod1Parameters.debias_weight)."""
+        return sum(p * self._model_out(i)
+                   for i, p in self._i_weights().items())
 
     @property
     def _r(self) -> int:
@@ -235,4 +315,11 @@ class Mod1Evaluator:
             # Evaluate(res, mod1InvPoly, res.Scale) — mod1_evaluator.go:140
             c = self.poly_eval.evaluate(
                 c, Polynomial(coeffs, basis="monomial"), base)
+        if self._dc_bias:
+            # remove the approximation's expected value over the lift
+            # integers (free: one exact constant add) — the DC of the
+            # per-slot error otherwise concentrates on the near-1-root
+            # slots after S2C, dominating worst-slot precision (see
+            # Mod1Parameters.debias_weight)
+            c = ev.sub(c, self._dc_bias)
         return c

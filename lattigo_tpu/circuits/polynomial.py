@@ -177,13 +177,28 @@ class PowerBasis:
             xa, xb = self.gen_power(a, ev), self.gen_power(b, ev)
             prod = ev.mul_relin(xa, xb.at_level(min(xa.level, xb.level)))
             prod = ev.add(prod, prod)             # 2·T_a·T_b
-            out = ev.rescale(prod)
             c = abs(a - b)
             if c == 0:
-                out = ev.sub(out, 1.0)            # T_0 = 1
+                out = ev.sub(ev.rescale(prod), 1.0)   # T_0 = 1 (const: exact)
             else:
+                # T_c's label (2^50-pinned at T_1, drifting by chain-prime
+                # deviations deeper) differs from prod's by ~2^-33 at
+                # 50-bit primes (q = 2^50 ± 2^17): letting sub's
+                # _match_scales RELABEL would fold that ratio into the
+                # VALUES as a multiplicative error which the next squaring
+                # RECTIFIES into a DC bias — the bias then concentrates on
+                # the near-1-root slots after S2C with gain ~1.27n and
+                # dominates worst-slot precision (measured: T_3 carried
+                # δ=−2^-34.3, T_6=2T_3²−1 a DC of 2δ, worst slot 7.4 bits
+                # vs 14.8 mean at N15QP768). Instead, land T_c EXACTLY on
+                # prod's scale with a ~2^50-quantised constant one (rel.
+                # error 2^-50, at the f64 floor) before the shared rescale.
                 tc = self.gen_power(c, ev)
-                out = ev.sub(out, tc.at_level(out.level))
+                tc = tc.at_level(min(tc.level, prod.level))
+                tcs = ev.mul_const(
+                    tc, 1.0,
+                    const_scale=Fraction(prod.scale) / Fraction(tc.scale))
+                out = ev.rescale(ev.sub(prod, tcs))
         self.powers[n] = out
         return out
 

@@ -200,6 +200,40 @@ class RingPackingEvaluator:
                 cts[j] = c0.replace(value=p.ring_q.add(c0.value, tmp.value, level))
         return {k: v for k, v in cts.items() if k % gap == 0}
 
+    def unpack(self, ct: Ciphertext, log_pack: int) -> list[Ciphertext]:
+        """Partial Expand: the exact inverse of ``pack(cts,
+        input_log_gap=log_pack)``. Runs only the first ``log_pack``
+        even/odd rounds of the Expand tree, so out[j] keeps the WHOLE
+        coefficient class ≡ j (mod 2^log_pack), shifted down by X^{-j} —
+        i.e. a sparse ciphertext with meaningful coefficients at stride
+        2^log_pack starting at 0 (ref bootstrapping/evaluator.go:942
+        unpack — the sparse-slot batch bootstrapping path)."""
+        assert ct.degree == 1 and ct.is_ntt
+        log_n = ct.n.bit_length() - 1
+        assert 0 < log_pack <= log_n
+        p = self._params(log_n)
+        ev = self.evaluators[log_n]
+        level = ct.level
+        n_inv = pow(1 << log_pack, -1, p.q_big_int(level))
+        cts = {0: ct.replace(value=p.ring_q.mul_scalar(ct.value, n_inv, level))}
+        for i in range(log_pack):
+            n = 1 << i
+            gal = p.n // n + 1
+            for j in list(cts):
+                c0 = cts[j]
+                tmp = ev.automorphism(c0, gal)
+                odd = c0.replace(value=p.ring_q.sub(c0.value, tmp.value, level))
+                cts[j + n] = self._mul_xpow(odd, -(1 << i), log_n)
+                cts[j] = c0.replace(
+                    value=p.ring_q.add(c0.value, tmp.value, level))
+        return [cts[j] for j in range(1 << log_pack)]
+
+    def galois_elements_for_unpack(self, log_pack: int,
+                                   log_n: int | None = None) -> list[int]:
+        p = self.params
+        log_n = p.log_n if log_n is None else log_n
+        return [(1 << log_n) // (1 << i) + 1 for i in range(log_pack)]
+
     # -- Pack --------------------------------------------------------------------
 
     def pack(self, cts: dict[int, Ciphertext],

@@ -325,6 +325,14 @@ class Evaluator(RlweEvaluator):
         return ct.replace(value=p.ring_q.mul_mont(
             ct.value, self._i_monomial(level), level))
 
+    def mul_by_minus_i(self, ct: Ciphertext) -> Ciphertext:
+        """Multiply all slots by −i (X^{3N/2} = −X^{N/2}: exact monomial,
+        ref the CI bootstrap's Mul(ct, -1i), bootstrapping/evaluator.go:505)."""
+        p = self.params
+        level = ct.level
+        return ct.replace(value=p.ring_q.neg(p.ring_q.mul_mont(
+            ct.value, self._i_monomial(level), level), level))
+
     # -- rotations ----------------------------------------------------------------------------
 
     def rotate(self, ct: Ciphertext, k: int) -> Ciphertext:

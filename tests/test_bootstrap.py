@@ -190,3 +190,78 @@ def test_bootstrap_jit_traceable(ctx):
     assert fn.out_shape.shape[0] == 3               # batch carried through
     assert fn.out_shape.shape[-2] >= 2              # residual levels present
     assert fn.out_meta["is_ntt"]
+
+
+def test_bootstrap_many_sparse_packed(ctx):
+    """Sparse-slot batching (ref BootstrapMany:229 + PackAndSwitchN1ToN2 /
+    UnpackAndSwitchN2ToN1, evaluator.go:857,891): 4 ciphertexts whose
+    slots are 4x-replicated (log_slots = log_max_slots - 2, coefficients
+    at stride 4) are interleaved into ONE full ciphertext, bootstrapped
+    once, and unpacked back to 4 sparse ciphertexts."""
+    params, enc, btp = ctx["params"], ctx["enc"], ctx["btp"]
+    log_slots = params.log_max_slots - 2
+    n_small = 1 << log_slots
+
+    # extend the galois keys with the pack/unpack tree elements
+    kgen = rlwe.KeyGenerator(params)
+    k_sk, k_rlk, k_gk, _ = jax.random.split(jax.random.PRNGKey(0), 4)
+    rlk = kgen.gen_relinearization_key(k_rlk, ctx["sk"])
+    lvls = dict(btp.galois_element_levels())
+    for el, lv in btp.packing_galois_elements(log_slots).items():
+        lvls[el] = max(lvls.get(el, 0), lv)
+    gks = kgen.gen_galois_keys(k_gk, sorted(lvls), ctx["sk"], levels=lvls)
+    btp.with_evaluator(ckks.Evaluator(params, rlwe.EvaluationKeySet(
+        relinearization_key=rlk, galois_keys=gks)))
+
+    rng = np.random.default_rng(11)
+    vs, cts = [], []
+    for i in range(4):
+        v = (rng.uniform(-1, 1, n_small) + 1j * rng.uniform(-1, 1, n_small))
+        tiled = np.tile(v, params.max_slots // n_small)
+        ct = rlwe.Encryptor(params, ctx["sk"]).encrypt(
+            jax.random.PRNGKey(40 + i), enc.encode(tiled)).at_level(0)
+        vs.append(tiled)
+        cts.append(ct)
+
+    outs = btp.bootstrap_many(cts, log_slots=log_slots)
+    assert len(outs) == 4
+    for v, out in zip(vs, outs):
+        assert out.level >= btp.output_level
+        prec = _precision(ctx, out, v)
+        assert prec >= 8.0, f"sparse-packed bootstrap precision {prec:.1f}"
+
+
+def test_bootstrap_conjugate_invariant_pair(ctx):
+    """CI-ring pairing (ref EvaluateConjugateInvariant, evaluator.go:460):
+    two conjugate-invariant real-slot cts ride ONE standard-ring bootstrap
+    as its real and imaginary halves, then split back to the CI ring."""
+    from lattigo_tpu.ring.ring import CONJUGATE_INVARIANT
+    from lattigo_tpu.schemes.ckks.bridge import (
+        DomainSwitcher, gen_ring_swap_keys)
+    from lattigo_tpu.schemes.ckks.encoder import CIEncoder
+
+    params = ctx["params"]
+    params_ci = ckks.Parameters(ckks.ParametersLiteral(
+        log_n=params.log_n - 1, q=params.q_moduli, p=params.p_moduli,
+        log_default_scale=45, ring_type=CONJUGATE_INVARIANT))
+    k_ci, k_swap = jax.random.split(jax.random.PRNGKey(77))
+    sk_ci = rlwe.KeyGenerator(params_ci).gen_secret_key(k_ci)
+    std_to_ci, ci_to_std = gen_ring_swap_keys(
+        k_swap, params, ctx["sk"], sk_ci)
+    sw = DomainSwitcher(params, params_ci, std_to_ci, ci_to_std)
+
+    enc_ci = CIEncoder(params_ci)
+    rng = np.random.default_rng(5)
+    vl = rng.uniform(-1, 1, params_ci.max_slots)
+    vr = rng.uniform(-1, 1, params_ci.max_slots)
+    enc_op = rlwe.Encryptor(params_ci, sk_ci)
+    ctl = enc_op.encrypt(jax.random.PRNGKey(50), enc_ci.encode(vl)).at_level(0)
+    ctr = enc_op.encrypt(jax.random.PRNGKey(51), enc_ci.encode(vr)).at_level(0)
+
+    outl, outr = ctx["btp"].evaluate_conjugate_invariant(ctl, ctr, switcher=sw)
+    dec_ci = rlwe.Decryptor(params_ci, sk_ci)
+    for v, out in ((vl, outl), (vr, outr)):
+        assert out.level >= ctx["btp"].output_level
+        got = enc_ci.decode(dec_ci.decrypt(out))
+        prec = -np.log2(np.abs(got - v).max() + 1e-300)
+        assert prec >= 8.0, f"CI-paired bootstrap precision {prec:.1f}"

@@ -11,11 +11,16 @@ hardware:
    logN ∈ {13, 14, 15, 16}, for both 28-bit (pallas MXU), 30-bit (VPU),
    and 50/60-bit (XLA u64 MXU) prime classes — bit-exact.
 3. One end-to-end bootstrap at logN=8 with ≥ 8 bits of precision.
+4. The published N15QP768 preset recipe at logN=10 with a precision
+   ratchet (--full: the full logN=15 preset) — a chip-preset precision
+   regression fails the gate instead of waiting for a bench rerun.
 
 Prints one line per check and exits non-zero on any failure.
 
-Usage: timeout 900 python tpu_gate.py           (quick profile, ~12 min)
-       timeout 3600 python tpu_gate.py --full   (all logN x prime classes)
+Usage: timeout 2400 python tpu_gate.py          (quick; ~12 min cached,
+                                                 +~20 min first preset compile)
+       timeout 7200 python tpu_gate.py --full   (all logN x prime classes
+                                                 + full-degree preset)
 """
 
 import sys
@@ -126,6 +131,27 @@ def gate_bootstrap():
     assert prec >= 8.0, f"bootstrap precision {prec:.1f} < 8 bits"
 
 
+def gate_preset(log_n: int | None = 10, min_worst: float = 15.0,
+                min_avg: float = 17.0, max_seconds: float | None = None):
+    """Published-preset precision gate ON THE CHIP (round-4 verdict #5:
+    a chip-preset precision regression must fail a committed gate, not
+    wait for a human bench rerun). Quick profile: the N15QP768 recipe at
+    logN=10 (post-round-5 measured 16.6/18.5 bits; ratchet 15/17).
+    --full: the full logN=15 preset (precision ratchet; timing is
+    bench_bootstrap.py's job — it has the windowed methodology)."""
+    import time as _t
+    from lattigo_tpu.circuits import bootstrapping_presets as bp
+
+    t0 = _t.time()
+    worst, avg = bp.run_recipe(getattr(bp, "N15QP768_H192_H32"),
+                               log_n=log_n)
+    dt = _t.time() - t0
+    print(f"     N15QP768 @ logN={log_n or 15}: {worst:.1f} worst / "
+          f"{avg:.1f} avg bits [{dt:.0f}s incl compile]", flush=True)
+    assert worst >= min_worst, f"preset worst {worst:.1f} < {min_worst}"
+    assert avg >= min_avg, f"preset avg {avg:.1f} < {min_avg}"
+
+
 def main():
     quick = "--full" not in sys.argv
     dev = jax.devices()[0]
@@ -148,6 +174,22 @@ def main():
         ok &= check("u64 MXU engine vs plain, logN=[14,16], q=60b",
                     lambda: gate_engines([14, 16], [60]))
     ok &= check("end-to-end bootstrap (logN=8)", gate_bootstrap)
+    if quick:
+        ok &= check("published preset N15QP768 recipe @ logN=10 (chip)",
+                    gate_preset)
+    else:
+        # full-degree flagship: precision ratchet (post-round-5 chip
+        # measurement) + wall-time bound
+        def full_preset():
+            import time as _t
+            from lattigo_tpu.circuits import bootstrapping_presets as bp
+            t0 = _t.time()
+            worst, avg = bp.run_recipe(getattr(bp, "N15QP768_H192_H32"))
+            print(f"     N15QP768 @ logN=15: {worst:.1f} worst / "
+                  f"{avg:.1f} avg bits", flush=True)
+            assert worst >= 12.0 and avg >= 14.5, (worst, avg)
+        ok &= check("published preset N15QP768 FULL logN=15 (chip)",
+                    full_preset)
     print("GATE", "PASS" if ok else "FAIL", flush=True)
     sys.exit(0 if ok else 1)
 
