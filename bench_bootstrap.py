@@ -86,6 +86,10 @@ def main(log_n: int = 13, batch: int = 1, preset: str | None = None,
     ev = ckks.Evaluator(params, rlwe.EvaluationKeySet(
         relinearization_key=rlk, galois_keys=gks))
     b.with_evaluator(ev)
+    # drop the local reference: when jitted(stream=...) swaps in a
+    # host-resident key set, the device copies must actually free —
+    # a surviving local dict pins the multi-GB rotation keys in HBM
+    del gks
     keys = None
     if lit.ephemeral_secret_weight is not None:
         keys = b.gen_encapsulation_keys(jax.random.PRNGKey(7), sk)

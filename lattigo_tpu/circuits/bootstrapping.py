@@ -577,11 +577,16 @@ class BootstrappingEvaluator:
             from lattigo_tpu.rlwe.keys import EvaluationKeySet
             gks = dict(resident_evk.galois_keys)
             for g in stream:
-                other = used["s2c" if g == "c2s" else "c2s"]
                 mats = self.dft.c2s_mats if g == "c2s" else self.dft.s2c_mats
-                own = {el: gks.pop(el) for el in sorted(used[g] - other)
-                       if el in gks}
+                own = {el: gks[el] for el in sorted(used[g]) if el in gks}
                 host_groups[g] = jax.device_get((mats, own))
+            # device-resident: only keys no streamed group uses (plus the
+            # relin key) — EvalMod runs with the relin key alone, so its
+            # stage sees none of the multi-GB rotation-key set
+            streamed_els = set()
+            for g in stream:
+                streamed_els |= used[g]
+            gks = {el: k for el, k in gks.items() if el not in streamed_els}
             resident_evk = EvaluationKeySet(
                 relinearization_key=resident_evk.relinearization_key,
                 galois_keys=gks)
@@ -695,11 +700,20 @@ class BootstrappingEvaluator:
         delta0 = self.scale_down_label(example.level, example.scale)
         q0 = Fraction(p.q_moduli[0])
 
+        def _sync(c):
+            # with streamed state, serialize stage dispatches: an enqueued
+            # next-stage program must not allocate while the previous
+            # stage's streamed buffers are still live
+            if host_groups:
+                jax.block_until_ready(c.value)
+            return c
+
         def wrapped(ct: Ciphertext) -> Ciphertext:
-            up = f_pre(ct)
+            up = _sync(f_pre(ct))
             ct_re, ct_im = f_c2s(up)
-            ct_re = f_mod1(ct_re)
-            ct_im = f_mod1(ct_im)
+            _sync(ct_im)
+            ct_re = _sync(f_mod1(ct_re))
+            ct_im = _sync(f_mod1(ct_im))
             out = f_s2c(ct_re, ct_im)
             return out.replace(scale=Fraction(out.scale) * delta0 / q0)
 

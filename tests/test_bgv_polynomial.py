@@ -21,6 +21,7 @@ def test_interpolate_mod_t():
     assert got == [3, 5, 0, 7]
 
 
+@pytest.mark.slow
 def test_bgv_polynomial_exact():
     params = bgv.Parameters(bgv.ParametersLiteral(
         log_n=9, log_q=(45,) + (40,) * 6, log_p=(50,), t=65537))

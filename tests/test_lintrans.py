@@ -9,6 +9,7 @@ from lattigo_tpu.schemes import bgv, ckks
 from lattigo_tpu.circuits import lintrans as lt_mod
 
 
+@pytest.mark.slow
 def test_ckks_lintrans():
     params = ckks.Parameters(ckks.ParametersLiteral(
         log_n=10, log_q=(50, 40, 40), log_p=(55,), log_default_scale=40))

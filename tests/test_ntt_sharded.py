@@ -25,6 +25,9 @@ def ctx():
     mesh = Mesh(devices, axis_names=("sp",))
     return dict(ring=ring, mesh=mesh)
 
+pytestmark = pytest.mark.slow  # covered by dryrun_multichip in the fast loop
+
+
 
 def _shard(x, mesh):
     sh = NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["sp"])))
