@@ -30,7 +30,7 @@ from lattigo_tpu.circuits import bootstrapping_presets as bp
 
 
 def main(log_n: int = 13, batch: int = 1, preset: str | None = None,
-         preset_log_n: int | None = None):
+         preset_log_n: int | None = None, once: bool = False):
     if preset is not None:
         residual, lit = getattr(bp, preset)
         if preset_log_n is not None:
@@ -120,7 +120,11 @@ def main(log_n: int = 13, batch: int = 1, preset: str | None = None,
     # jittery tunnel run fails loudly instead of publishing garbage
     # (round-4 weak spot: builder 1.50 s vs judge 0.98 s on one window).
     import statistics
-    windows, iters = 3, 3
+    # --once: a single timed run — the streamed logN=16 path re-uploads
+    # ~6.5 GB per bootstrap and the tunnel client's host staging for ten
+    # uploads exceeded host RAM (oom-killed at 130 GB RSS); one timed
+    # call bounds it while still recording s/bootstrap + precision
+    windows, iters = (1, 1) if once else (3, 3)
     times = []
     for _ in range(windows):
         t0 = time.time()
@@ -165,9 +169,12 @@ if __name__ == "__main__":
         i = a.index("--log-n")
         pln = int(a[i + 1])
         del a[i:i + 2]
+    once = "--once" in a
+    if once:
+        a.remove("--once")
     if a and a[0] == "--preset":
         main(batch=int(a[2]) if len(a) > 2 else 1, preset=a[1],
-             preset_log_n=pln)
+             preset_log_n=pln, once=once)
     else:
         if pln is not None:
             sys.exit("--log-n only applies with --preset; pass the ring "
