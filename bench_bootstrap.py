@@ -108,6 +108,8 @@ def main(log_n: int = 13, batch: int = 1, preset: str | None = None,
     # stage-exclusive Galois keys stream from host per stage so the
     # 25-limb working set fits one chip's HBM (jitted(stream=...))
     stream = ("c2s", "s2c") if log_n >= 16 else ()
+    if os.environ.get("LATTIGO_BENCH_STREAM") == "0":
+        stream = ()   # try fully chip-resident (needs ~10 GB HBM free)
     fn = b.jitted(ct, keys=keys, stream=stream)
     out = fn(ct)
     jax.block_until_ready(out.value)
